@@ -89,6 +89,40 @@ def resnet_block(p, x, half_res):
     return relu(out + short)
 
 
+# -- GNN head oracles (reference methods/gnn.py semantics) ------------------
+
+
+def wcompute(p, x):
+    """x: [B,N,F] -> [B,N,N,2] (identity op, masked row-softmax adjacency)."""
+    x = np.asarray(x, np.float64)
+    h = np.abs(x[:, :, None, :] - x[:, None, :, :])
+    for i in range(1, 5):
+        h = leaky_relu(batch_norm(linear(h, p[f"conv{i}"]), p[f"bn{i}"]["scale"], p[f"bn{i}"]["bias"]))
+    w = linear(h, p["conv_last"])[..., 0]
+    n = x.shape[1]
+    eye = np.eye(n)
+    w = softmax(w - eye * 1e8, axis=2)
+    return np.stack([np.broadcast_to(eye, w.shape), w], axis=-1)
+
+
+def gconv(p, w_ops, x, bn=True):
+    x = np.asarray(x, np.float64)
+    ys = [np.einsum("bij,bjf->bif", w_ops[..., k], x) for k in range(w_ops.shape[-1])]
+    h = linear(np.concatenate(ys, axis=-1), p["fc"])
+    if bn:
+        b, n, f = h.shape
+        h = batch_norm(h.reshape(b * n, f), p["bn"]["scale"], p["bn"]["bias"]).reshape(b, n, f)
+    return h
+
+
+def gnn(p, nodes):
+    x = np.asarray(nodes, np.float64)
+    for layer in p["layers"]:
+        w_ops = wcompute(layer["w"], x)
+        x = np.concatenate([x, leaky_relu(gconv(layer["l"], w_ops, x))], axis=2)
+    return gconv(p["l_last"], wcompute(p["w_last"], x), x, bn=False)
+
+
 def resnet(params, x, stage_sizes, flatten=True):
     """Train-mode (batch-stats) reference forward of the SimpleBlock ResNet
     (reference backbone.py:216-261, 401-439)."""
