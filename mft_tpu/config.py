@@ -1,0 +1,114 @@
+"""Configuration and CLI flags.
+
+Replaces the reference's two config tiers (SURVEY.md §5): the editable path
+constants of configs.py:1-9 become :class:`Paths` (env-var / JSON
+overridable), and the shared argparse parser of io_utils.py:10-47 becomes
+:func:`parse_args` with the same flag names plus structured knobs for the
+magic numbers that the reference hard-codes (inner-loop lr/batch/epochs,
+episode counts, image size — io_utils.py notes in SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Paths:
+    """Dataset roots + save dir (reference configs.py:1-9)."""
+
+    save_dir: str = "./logs"
+    miniImageNet: str = "content/miniImagenet3"
+    DTD: str = "/ssd/dtd/images/"
+    ISIC: str = "content"
+    ChestX: str = "content"
+    CropDisease: str = "content/CropDiseases"
+    EuroSAT: str = "content/2750"
+    cifar100: str = "content/cifar100"
+    caltech256: str = "content/caltech256"
+
+    @classmethod
+    def load(cls, json_path: str | None = None) -> "Paths":
+        """Defaults <- optional JSON file (MFT_TPU_PATHS or ./mft_paths.json)
+        <- MFT_<NAME>_PATH env vars."""
+        p = cls()
+        json_path = json_path or os.environ.get("MFT_TPU_PATHS")
+        if json_path is None and os.path.exists("mft_paths.json"):
+            json_path = "mft_paths.json"
+        if json_path and os.path.exists(json_path):
+            with open(json_path) as f:
+                for k, v in json.load(f).items():
+                    if hasattr(p, k):
+                        setattr(p, k, v)
+        for f_ in dataclasses.fields(cls):
+            env = os.environ.get(f"MFT_{f_.name.upper()}_PATH")
+            if env:
+                setattr(p, f_.name, env)
+        return p
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+def checkpoint_dir(paths: Paths, dataset: str, model: str, method: str, *, train_aug: bool, n_way: int | None = None, n_shot: int | None = None) -> str:
+    """Reference checkpoint layout (train.py:175-180):
+    ``<save_dir>/checkpoints/<dataset>/<model>_<method>[_aug][_<W>way_<S>shot]``."""
+    d = os.path.join(paths.save_dir, "checkpoints", dataset, f"{model}_{method}")
+    if train_aug:
+        d += "_aug"
+    if method not in ("baseline", "baseline++") and n_way is not None:
+        d += f"_{n_way}way_{n_shot}shot"
+    return d
+
+
+def parse_args(script: str, argv=None):
+    """Flag parity with reference io_utils.py:10-47 (+ TPU-native extras)."""
+    parser = argparse.ArgumentParser(description=f"mft_tpu few-shot script {script}")
+    parser.add_argument("--dataset", default="miniImageNet", help="training base dataset")
+    parser.add_argument("--test_dataset", default="", help="cross-domain test dataset")
+    parser.add_argument("--unsupervised", default="", help="unsupervised dataset (dampnet)")
+    parser.add_argument("--model", default="ResNet10", help="backbone architecture")
+    parser.add_argument("--method", default="baseline", help="baseline/protonet/gnnnet/dampnet_full_class/all")
+    parser.add_argument("--train_n_way", default=5, type=int)
+    parser.add_argument("--test_n_way", default=5, type=int)
+    parser.add_argument("--n_shot", default=5, type=int)
+    parser.add_argument("--train_aug", action="store_true")
+    parser.add_argument("--both", action="store_true", help="use both tuned and untuned model")
+    parser.add_argument("--freeze_backbone", action="store_true")
+    parser.add_argument("--save_iter", default=-1, type=int)
+    parser.add_argument("--models_to_use", "--names-list", nargs="+", default=["miniImageNet", "caltech256", "DTD", "cifar100", "CUB"])
+    parser.add_argument("--fine_tune_all_models", action="store_true")
+    parser.add_argument("--fine_tune_epoch", default=100, type=int)
+    parser.add_argument("--gen_examples", default=10, type=int)
+    # --- TPU-native extras (magic numbers surfaced as flags) ---
+    parser.add_argument("--image_size", default=224, type=int)
+    parser.add_argument("--base_size", default=256, type=int, help="host decode resolution")
+    parser.add_argument("--iter_num", default=600, type=int, help="eval episodes")
+    parser.add_argument("--episode_batch", default=1, type=int, help="episodes per training step (data-parallel axis)")
+    parser.add_argument("--eval_batch", default=4, type=int, help="episodes fine-tuned concurrently at eval")
+    parser.add_argument("--bn_mode", default="episode", choices=["episode", "minibatch"])
+    parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--seed", default=10, type=int, help="reference seed discipline (train.py:69)")
+    parser.add_argument("--paths_json", default=None)
+
+    if script == "train":
+        parser.add_argument("--fine_tune", action="store_true", help="meta fine-tuning stage")
+        parser.add_argument("--num_classes", default=200, type=int)
+        parser.add_argument("--save_freq", default=50, type=int)
+        parser.add_argument("--start_epoch", default=0, type=int)
+        parser.add_argument("--stop_epoch", default=400, type=int)
+        parser.add_argument("--episodes_per_epoch", default=100, type=int)
+        parser.add_argument("--batch_size", default=16, type=int, help="baseline pretraining batch")
+    elif script in ("save_features", "test"):
+        parser.add_argument("--split", default="novel")
+        if script == "test":
+            parser.add_argument("--adaptation", action="store_true")
+            parser.add_argument("--unsup", action="store_true")
+            parser.add_argument("--unsup_cluster", action="store_true")
+    else:
+        raise ValueError("Unknown script")
+    return parser.parse_args(argv)

@@ -1,0 +1,132 @@
+"""Host-side input pipeline: decode once, augment on device.
+
+The reference decodes every image with PIL on the loader workers and — in
+the eval path — re-decodes and re-transforms each image ``gen_examples + 2``
+times on a single thread (SetDataset2 with num_workers=0,
+datasets/CropDisease_few_shot.py:112-124, 351-353): the measured wall-clock
+bottleneck (SURVEY.md §3.4).
+
+Here the host decodes each image exactly once to a canonical base
+resolution (thread pool over PIL), ships ``[n_way, s+q, base, base, 3]``
+float32 episodes to the device, and all replica fan-out / augmentation runs
+on device (ops/augment.py).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Optional
+
+import numpy as np
+
+from mft_tpu.core.episode import EpisodeSpec
+from mft_tpu.data.manifests import Manifest
+from mft_tpu.data.sampler import EpisodicSampler
+
+
+def decode_image(item, base_size: int) -> np.ndarray:
+    """Decode one manifest item to uint8 [base, base, 3].
+
+    uint8 keeps host->device transport 4x smaller; the device converts to
+    float (ops/augment.py:to_float).  ``item`` is a file path or an
+    in-memory HWC array.  Truncated files are tolerated (the reference sets
+    ImageFile.LOAD_TRUNCATED_IMAGES, CropDisease_few_shot.py:13-14).
+    """
+    if isinstance(item, np.ndarray):
+        arr = item
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        if arr.shape[0] != base_size or arr.shape[1] != base_size:
+            arr = _resize_np(arr, base_size)
+        return np.ascontiguousarray(arr)
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    with Image.open(item) as im:
+        im = im.convert("RGB").resize((base_size, base_size), Image.BILINEAR)
+        return np.asarray(im, np.uint8)
+
+
+def _resize_np(arr: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-ish resize for in-memory arrays (synthetic/CIFAR items)."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(size) * (h / size)).astype(np.int64)
+    xi = (np.arange(size) * (w / size)).astype(np.int64)
+    return arr[yi][:, xi]
+
+
+class EpisodeStream:
+    """Iterates decoded episodes ``(images, classes)``.
+
+    images: uint8 ``[n_way, n_support+n_query, base, base, 3]``.
+    Decoding is parallelized over a thread pool and the next episode is
+    prefetched while the device crunches the current one.
+    """
+
+    def __init__(
+        self,
+        manifest: Manifest,
+        spec: EpisodeSpec,
+        n_episodes: int,
+        *,
+        base_size: int = 256,
+        seed: int = 10,
+        workers: int = 16,
+        prefetch: int = 2,
+    ):
+        self.manifest = manifest
+        self.spec = spec
+        self.base_size = base_size
+        self.sampler = EpisodicSampler(manifest.by_class(), spec, n_episodes, seed=seed)
+        self.workers = workers
+        self.prefetch = prefetch
+
+    def _load(self, i: int):
+        ep = self.sampler.episode(i)
+        flat = ep.items.reshape(-1)
+        with cf.ThreadPoolExecutor(self.workers) as pool:
+            imgs = list(pool.map(lambda j: decode_image(self.manifest.items[j], self.base_size), flat))
+        images = np.stack(imgs).reshape(
+            self.spec.n_way, self.spec.n_per_class, self.base_size, self.base_size, 3
+        )
+        return images, ep.classes
+
+    def __len__(self):
+        return len(self.sampler)
+
+    def __iter__(self):
+        n = len(self.sampler)
+        with cf.ThreadPoolExecutor(max_workers=self.prefetch) as pool:
+            futures = {}
+            for i in range(min(self.prefetch, n)):
+                futures[i] = pool.submit(self._load, i)
+            for i in range(n):
+                nxt = i + self.prefetch
+                if nxt < n:
+                    futures[nxt] = pool.submit(self._load, nxt)
+                yield futures.pop(i).result()
+
+
+class BatchStream:
+    """Flat shuffled minibatches for supervised pretraining."""
+
+    def __init__(self, manifest: Manifest, batch_size: int, n_batches: int, *, base_size: int = 256, seed: int = 10, workers: int = 16):
+        self.manifest = manifest
+        self.batch_size = batch_size
+        self.n_batches = n_batches
+        self.base_size = base_size
+        self.seed = seed
+        self.workers = workers
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        rs = np.random.Generator(np.random.Philox(key=self.seed))
+        all_idx = np.arange(len(self.manifest))
+        with cf.ThreadPoolExecutor(self.workers) as pool:
+            for _ in range(self.n_batches):
+                idx = rs.choice(all_idx, size=self.batch_size, replace=len(all_idx) < self.batch_size)
+                imgs = list(pool.map(lambda j: decode_image(self.manifest.items[j], self.base_size), idx))
+                yield np.stack(imgs), self.manifest.labels[idx]

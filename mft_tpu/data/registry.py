@@ -1,0 +1,148 @@
+"""Dataset registry: one parameterized table replacing the reference's eight
+copied dataset modules (SURVEY.md §1 "collapse this to one parameterized
+registry").
+
+Each entry records the manifest builder, the class count, and the train/eval
+augmentation hyperparameters lifted from the per-dataset TransformLoader /
+TransformLoader2 definitions (citations inline).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from mft_tpu.data import manifests as mf
+from mft_tpu.ops.augment import AugmentCfg
+
+# torchvision RandomResizedCrop defaults (miniImageNet train pipeline,
+# datasets/miniImageNet_few_shot.py:122-123 + data/datamgr.py:25-26)
+_MINI_TRAIN = AugmentCfg(scale_min=0.08, scale_max=1.0, brightness=0.4, contrast=0.4, color=0.4, hflip=True)
+
+_REGISTRY = {}
+
+
+@dataclass(frozen=True)
+class DatasetEntry:
+    name: str
+    n_classes: Optional[int]
+    builder: Callable[..., mf.Manifest]  # (cfg_paths) -> Manifest
+    train_aug: AugmentCfg
+    eval_aug: AugmentCfg
+
+
+def register(entry: DatasetEntry):
+    _REGISTRY[entry.name] = entry
+    return entry
+
+
+def get(name: str) -> DatasetEntry:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown dataset {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def names():
+    return sorted(_REGISTRY)
+
+
+register(
+    DatasetEntry(
+        "miniImageNet",
+        64,
+        lambda paths: mf.image_folder(paths["miniImageNet"]),
+        train_aug=_MINI_TRAIN,
+        eval_aug=_MINI_TRAIN,
+    )
+)
+
+register(
+    DatasetEntry(
+        "CropDisease",
+        38,
+        lambda paths: mf.image_folder(os.path.join(paths["CropDisease"], "dataset", "train")),
+        # CropDisease_few_shot.py:214,225: jitter .1/.1/.05, scale (0.6,0.9), H flip
+        train_aug=AugmentCfg(scale_min=0.6, scale_max=0.9, brightness=0.1, contrast=0.1, color=0.05, hflip=True),
+        # TransformLoader2 :248,259,271: jitter .2/.2/.05, scale (0.5,0.9), H+V flips
+        eval_aug=AugmentCfg(scale_min=0.5, scale_max=0.9, brightness=0.2, contrast=0.2, color=0.05, hflip=True, vflip=True),
+    )
+)
+
+register(
+    DatasetEntry(
+        "EuroSAT",
+        10,
+        lambda paths: mf.image_folder(paths["EuroSAT"]),
+        # EuroSAT_few_shot.py:210,221,233: jitter .1/.1/.05, scale (0.5,0.9), H+V
+        train_aug=AugmentCfg(scale_min=0.5, scale_max=0.9, brightness=0.1, contrast=0.1, color=0.05, hflip=True, vflip=True),
+        eval_aug=AugmentCfg(scale_min=0.5, scale_max=0.9, brightness=0.1, contrast=0.1, color=0.05, hflip=True, vflip=True),
+    )
+)
+
+register(
+    DatasetEntry(
+        "ISIC",
+        7,
+        lambda paths: mf.isic_csv(
+            os.path.join(paths["ISIC"], "ISIC2018_Task3_Training_GroundTruth", "ISIC2018_Task3_Training_GroundTruth.csv"),
+            os.path.join(paths["ISIC"], "ISIC2018_Task3_Training_Input"),
+        ),
+        # ISIC_few_shot.py:268,279,291: jitter .1/.1/.05, scale (0.5,0.9), H+V
+        train_aug=AugmentCfg(scale_min=0.5, scale_max=0.9, brightness=0.1, contrast=0.1, color=0.05, hflip=True, vflip=True),
+        eval_aug=AugmentCfg(scale_min=0.5, scale_max=0.9, brightness=0.1, contrast=0.1, color=0.05, hflip=True, vflip=True),
+    )
+)
+
+register(
+    DatasetEntry(
+        "ChestX",
+        7,
+        lambda paths: mf.chestx_csv(
+            os.path.join(paths["ChestX"], "Data_Entry_2017.csv"), os.path.join(paths["ChestX"], "images")
+        ),
+        # Chest_few_shot.py:299,312,326: jitter .1/.1/.001, scale (0.6,0.95), no flips
+        train_aug=AugmentCfg(scale_min=0.6, scale_max=0.95, brightness=0.1, contrast=0.1, color=0.001, hflip=False),
+        eval_aug=AugmentCfg(scale_min=0.6, scale_max=0.95, brightness=0.1, contrast=0.1, color=0.001, hflip=False),
+    )
+)
+
+register(
+    DatasetEntry(
+        "DTD",
+        47,
+        lambda paths: mf.image_folder(paths["DTD"]),
+        train_aug=_MINI_TRAIN,  # DTD_few_shot.py uses the generic train stack
+        eval_aug=_MINI_TRAIN,
+    )
+)
+
+register(
+    DatasetEntry(
+        "cifar100",
+        50,  # base split (even class indices), cifar_few_shot.py:60-98
+        lambda paths: mf.cifar100(paths["cifar100"], "base"),
+        train_aug=_MINI_TRAIN,
+        eval_aug=_MINI_TRAIN,
+    )
+)
+
+register(
+    DatasetEntry(
+        "caltech256",
+        257,
+        lambda paths: mf.image_folder(paths["caltech256"]),
+        train_aug=_MINI_TRAIN,
+        eval_aug=_MINI_TRAIN,
+    )
+)
+
+register(
+    DatasetEntry(
+        "synthetic",
+        10,
+        lambda paths: mf.synthetic(),
+        train_aug=_MINI_TRAIN,
+        eval_aug=AugmentCfg(scale_min=0.5, scale_max=0.9, brightness=0.2, contrast=0.2, color=0.05, hflip=True, vflip=True),
+    )
+)

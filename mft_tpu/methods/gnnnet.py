@@ -39,6 +39,7 @@ class GnnNetCfg(NamedTuple):
     proj_dim: int = 128
     gnn_nf: int = 96
     support_compress: int = 1  # 2 reproduces the 50-shot gnnnet_copy variant
+    use_pallas: bool = False  # fused edge kernel (ops/pallas/edge_mlp.py)
 
     @property
     def eff_support(self) -> int:
@@ -102,7 +103,7 @@ def gnn_scores(head, z_episode: jnp.ndarray, cfg: GnnNetCfg, n_query: int) -> jn
     # zq[:, i] for each query index i -> [n_query, n_way, proj]
     graphs = jax.vmap(build_graph)(jnp.swapaxes(zq, 0, 1))  # [n_query, N, proj+n_way]
 
-    out = apply_gnn(head["gnn"], graphs)  # [n_query, N, n_way]
+    out = apply_gnn(head["gnn"], graphs, cfg.use_pallas)  # [n_query, N, n_way]
     out = out.reshape(n_query, n_way, cfg.eff_support + 1, n_way)[:, :, -1]  # query slots
     # [n_query, n_way, n_way] -> class-major [(n_way*n_query), n_way]
     return jnp.swapaxes(out, 0, 1).reshape(n_way * n_query, n_way)

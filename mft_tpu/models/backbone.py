@@ -55,6 +55,9 @@ class ResNetCfg(NamedTuple):
     widths: Tuple[int, ...]
     block: str = "simple"
     flatten: bool = True
+    #: MXU input dtype: convs cast x/w to this and accumulate in f32; BN,
+    #: residuals, and parameters stay f32 ('bfloat16' = the TPU fast path)
+    compute_dtype: str = "float32"
 
     @property
     def feat_dim(self):
@@ -179,19 +182,24 @@ def _fwt_noise(x, gamma_p, beta_p, rng):
     return gamma * x + beta
 
 
-def _apply_block(p, s, x, half_res: bool, ctx: BNCtx, fwt: bool, train: bool, rng):
+def _cd(cfg: "ResNetCfg"):
+    """MXU compute dtype from the cfg (None = keep input dtype)."""
+    return None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
+
+
+def _apply_block(p, s, x, half_res: bool, ctx: BNCtx, fwt: bool, train: bool, rng, cd=None):
     stride = 2 if half_res else 1
-    out = conv2d(x, p["conv1"], stride=stride, padding=1)
+    out = conv2d(x, p["conv1"], stride=stride, padding=1, compute_dtype=cd)
     out, s1 = _bn(out, p["bn1"], s["bn1"], ctx)
     out = jax.nn.relu(out)
-    out = conv2d(out, p["conv2"], stride=1, padding=1)
+    out = conv2d(out, p["conv2"], stride=1, padding=1, compute_dtype=cd)
     out, s2 = _bn(out, p["bn2"], s["bn2"], ctx)
     new_s = {"bn1": s1, "bn2": s2}
     if fwt and train and rng is not None:
         r1, r2 = jax.random.split(rng)
         out = _fwt_noise(out, p["fwt_gamma2"], p["fwt_beta2"], r1)
     if "conv_sc" in p:
-        short = conv2d(x, p["conv_sc"], stride=stride, padding=0)
+        short = conv2d(x, p["conv_sc"], stride=stride, padding=0, compute_dtype=cd)
         short, ssc = _bn(short, p["bn_sc"], s["bn_sc"], ctx)
         new_s["bn_sc"] = ssc
         if fwt and train and rng is not None:
@@ -229,6 +237,7 @@ def apply_backbone(
     stages ``< k`` (used by the eval engine to resume from frozen-trunk
     features — the 4/5 FLOP saving of the per-episode fine-tune path).
     """
+    cd = _cd(cfg)
     ctx = BNCtx(train, train and update_stats, momentum, sample_mask)
     fwt = cfg.block == "fwt"
     new_stats = {"stages": [list(s) for s in stats["stages"]]}
@@ -238,7 +247,7 @@ def apply_backbone(
     rngs = list(jax.random.split(rng, n_blocks)) if (fwt and train and rng is not None) else [None] * n_blocks
 
     if start_stage == 0:
-        x = conv2d(x, params["stem_conv"], stride=2, padding=3)
+        x = conv2d(x, params["stem_conv"], stride=2, padding=3, compute_dtype=cd)
         x, new_stats["stem_bn"] = _bn(x, params["stem_bn"], stats["stem_bn"], ctx)
         x = jax.nn.relu(x)
         x = max_pool(x, 3, 2, 1)
@@ -249,7 +258,7 @@ def apply_backbone(
             if i >= start_stage:
                 half_res = (i >= 1) and (j == 0)  # reference backbone.py:421-422
                 x, bs = _apply_block(
-                    params["stages"][i][j], stats["stages"][i][j], x, half_res, ctx, fwt, train, rngs[bi]
+                    params["stages"][i][j], stats["stages"][i][j], x, half_res, ctx, fwt, train, rngs[bi], cd
                 )
                 new_stats["stages"][i][j] = bs
             bi += 1
@@ -257,6 +266,69 @@ def apply_backbone(
     if cfg.flatten:
         x = global_avg_pool(x)
     return x, new_stats
+
+
+def apply_trunk(
+    params,
+    stats,
+    x: jnp.ndarray,
+    *,
+    cfg: ResNetCfg,
+    train: bool,
+    sample_mask: Optional[jnp.ndarray] = None,
+    rng=None,
+):
+    """Stem + every residual block *except the final one* -> feature map.
+
+    The frozen-trunk half of the adaptation split: during per-episode
+    fine-tuning only the final block trains (reference finetune.py:242-252),
+    so its input feature map can be computed once per support bank instead of
+    once per inner-loop minibatch — ~4/5 of the inner-loop FLOPs removed.
+    Only valid with batch-stats BN ("episode" bn_mode; the faithful
+    per-minibatch mode must run the full backbone per step).
+    """
+    cd = _cd(cfg)
+    ctx = BNCtx(train, False, 0.1, sample_mask)
+    fwt = cfg.block == "fwt"
+    x = conv2d(x, params["stem_conv"], stride=2, padding=3, compute_dtype=cd)
+    x, _ = _bn(x, params["stem_bn"], stats["stem_bn"], ctx)
+    x = jax.nn.relu(x)
+    x = max_pool(x, 3, 2, 1)
+    n_blocks = sum(cfg.stage_sizes)
+    rngs = list(jax.random.split(rng, n_blocks)) if (fwt and train and rng is not None) else [None] * n_blocks
+    bi = 0
+    for i, n in enumerate(cfg.stage_sizes):
+        for j in range(n):
+            is_final = (i == len(cfg.stage_sizes) - 1) and (j == n - 1)
+            if not is_final:
+                half_res = (i >= 1) and (j == 0)
+                x, _ = _apply_block(params["stages"][i][j], stats["stages"][i][j], x, half_res, ctx, fwt, train, rngs[bi], cd)
+            bi += 1
+    return x
+
+
+def apply_final_block(
+    block_params,
+    block_stats,
+    fmap: jnp.ndarray,
+    *,
+    cfg: ResNetCfg,
+    train: bool,
+    sample_mask: Optional[jnp.ndarray] = None,
+):
+    """The adapted half: final residual block (+ global pool when flattened).
+
+    ``apply_final_block(last, apply_trunk(trunk, x)) == apply_backbone(x)``
+    for batch-stats BN.
+    """
+    ctx = BNCtx(train, False, 0.1, sample_mask)
+    i = len(cfg.stage_sizes) - 1
+    j = cfg.stage_sizes[-1] - 1
+    half_res = (i >= 1) and (j == 0)
+    out, _ = _apply_block(block_params, block_stats, fmap, half_res, ctx, cfg.block == "fwt", train, None, _cd(cfg))
+    if cfg.flatten:
+        out = global_avg_pool(out)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -65,14 +65,24 @@ def init_wcompute(key, cin: int, nf: int, ratio=(2, 2, 1, 1), dtype=jnp.float32)
     return p
 
 
-def apply_wcompute(p, x: jnp.ndarray) -> jnp.ndarray:
+def apply_wcompute(p, x: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """x: [B, N, F] -> operator stack W: [B, N, N, 2] = (identity, softmax adj).
 
     Fuses the reference's edge pipeline (methods/gnn.py:78-132) into channel
-    matmuls over the [B, N, N, C] tensor.
+    matmuls over the [B, N, N, C] tensor.  ``use_pallas`` routes the
+    edge-construction + first conv through the fused TPU kernel
+    (ops/pallas/edge_mlp.py) so the [B, N, N, F] edge tensor never hits HBM.
     """
-    h = jnp.abs(x[:, :, None, :] - x[:, None, :, :])  # [B, N, N, F]
-    for i in range(1, 5):
+    if use_pallas:
+        from mft_tpu.ops.pallas.edge_mlp import edge_abs_diff_matmul
+
+        h = edge_abs_diff_matmul(x, p["conv1"]["w"], p["conv1"]["b"])
+    else:
+        h = jnp.abs(x[:, :, None, :] - x[:, None, :, :])  # [B, N, N, F]
+        h = linear(h, p["conv1"])
+    h, _ = batch_norm(h, p["bn1"], None, use_batch_stats=True)
+    h = leaky_relu(h)
+    for i in range(2, 5):
         h = linear(h, p[f"conv{i}"])
         h, _ = batch_norm(h, p[f"bn{i}"], None, use_batch_stats=True)
         h = leaky_relu(h)
@@ -140,13 +150,13 @@ def init_gnn(key, cfg: GNNCfg, dtype=jnp.float32):
     return p
 
 
-def apply_gnn(p, nodes: jnp.ndarray) -> jnp.ndarray:
+def apply_gnn(p, nodes: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """nodes: [B, N, in_features] -> logits [B, N, n_way]
     (reference methods/gnn.py:154-166)."""
     x = nodes
     for layer in p["layers"]:
-        w_ops = apply_wcompute(layer["w"], x)
+        w_ops = apply_wcompute(layer["w"], x, use_pallas)
         x_new = leaky_relu(apply_gconv(layer["l"], w_ops, x))
         x = jnp.concatenate([x, x_new], axis=2)
-    w_ops = apply_wcompute(p["w_last"], x)
+    w_ops = apply_wcompute(p["w_last"], x, use_pallas)
     return apply_gconv(p["l_last"], w_ops, x)

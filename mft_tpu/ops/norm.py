@@ -73,6 +73,8 @@ def batch_norm(
       * the running-var update uses the *unbiased* batch variance
         with torch momentum convention ``new = (1-m)*old + m*batch``.
     """
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # statistics always in f32 (bf16-safe)
     reduce_axes = tuple(range(x.ndim - 1))
     if use_batch_stats:
         mean, var, count = _masked_moments(x, reduce_axes, sample_mask)
@@ -88,8 +90,8 @@ def batch_norm(
         mean, var = stats["mean"], stats["var"]
         new_stats = stats
     inv = jnp.asarray(1.0, x.dtype) / jnp.sqrt(var + eps)
-    y = (x - mean) * (inv * params["scale"]) + params["bias"]
-    return y, new_stats
+    y = (x - mean) * (inv * params["scale"].astype(x.dtype)) + params["bias"].astype(x.dtype)
+    return y.astype(in_dtype), new_stats
 
 
 def softplus100(x: jnp.ndarray) -> jnp.ndarray:

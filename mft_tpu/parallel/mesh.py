@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-process / single-GPU with no distributed execution
+of any kind (SURVEY.md §2.7 records the absence).  The TPU-native design
+scales along the natural axis of this workload — *episodes*:
+
+* training: the episode batch ``[E, n_way, s+q, H, W, C]`` is sharded over
+  the ``data`` mesh axis; parameters are replicated and XLA emits the
+  gradient all-reduce over ICI from the mean in the loss,
+* evaluation: 600 independent episodes are embarrassingly parallel — the
+  vmapped per-episode fine-tune shards its episode axis the same way,
+* an optional ``model`` axis is reserved for parameter (FSDP-style)
+  sharding; at ResNet10 scale (~5M params) it is intentionally unused by
+  default (SURVEY.md §2.7: TP/PP not warranted), but the helpers accept a
+  2-D mesh so larger backbones can shard without code changes.
+
+Multi-host slices work unchanged: ``jax.devices()`` spans the slice, the
+mesh is laid out over it, and per-host input feeding uses
+``make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """A ``(data, model)`` mesh over the available devices (ICI-major)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def episode_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading episode axis over ``data``; everything else local."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_episode_batch(mesh: Mesh, batch):
+    """Place an ``[E, ...]`` host array with E sharded over the data axis."""
+    return jax.device_put(batch, episode_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k

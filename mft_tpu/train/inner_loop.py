@@ -1,0 +1,111 @@
+"""Inner-loop optimization engine — jitted ``lax.scan`` over minibatch steps.
+
+Every adaptation loop in the reference has the same shape (SURVEY.md §2.3,
+§2.5): for E epochs, draw a fresh permutation of a fixed support bank, walk
+it in minibatches (the last one smaller), and apply an optimizer step to a
+subset of parameters:
+
+* meta fine-tune inner loop: 15 epochs x batch 4 over 25 support images,
+  Adam(0.01) on the last ResNet block (gnnnet.py:145-177),
+* eval transfer fine-tune: ``fine_tune_epoch`` epochs x batch 5 over the
+  augmented support bank, Adam(0.01) on block + throwaway head
+  (finetune.py:261-299),
+* linear probes: 100 epochs x batch 4, reference SGD (meta_template.py:153-186).
+
+Here that shape is one engine: static step count, permutations precomputed
+from a key, minibatches gathered from the bank with a validity mask for the
+ragged last batch (so shapes stay static), ``optax`` transform applied inside
+a ``lax.scan``.  The engine is pure and jittable, so the eval driver can
+``vmap`` it across episodes and ``pjit`` it over the device mesh — the
+headline >=20x speedup lever identified in SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class InnerLoopCfg(NamedTuple):
+    epochs: int
+    batch_size: int
+    bank_size: int
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return math.ceil(self.bank_size / self.batch_size)
+
+    @property
+    def n_steps(self) -> int:
+        return self.epochs * self.steps_per_epoch
+
+    @property
+    def padded(self) -> int:
+        return self.steps_per_epoch * self.batch_size
+
+
+def minibatch_schedule(key, cfg: InnerLoopCfg):
+    """Precompute the gather indices and validity weights for every step.
+
+    Returns ``(idx, w)`` with shapes ``[n_steps, batch_size]``; ``w`` is 0 for
+    the padding rows of each epoch's ragged last minibatch.
+    """
+    keys = jax.random.split(key, cfg.epochs)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, cfg.bank_size))(keys)
+    pad = cfg.padded - cfg.bank_size
+    if pad:
+        perms = jnp.pad(perms, ((0, 0), (0, pad)))  # pad rows get weight 0
+    idx = perms.reshape(cfg.epochs, cfg.steps_per_epoch, cfg.batch_size)
+    idx = idx.reshape(cfg.n_steps, cfg.batch_size)
+    pos = jnp.arange(cfg.padded).reshape(cfg.steps_per_epoch, cfg.batch_size)
+    w_epoch = (pos < cfg.bank_size).astype(jnp.float32)
+    w = jnp.tile(w_epoch, (cfg.epochs, 1))
+    return idx, w
+
+
+def inner_fit(
+    loss_fn: Callable,
+    params,
+    tx: optax.GradientTransformation,
+    key,
+    cfg: InnerLoopCfg,
+    *aux,
+):
+    """Run the adaptation loop and return the adapted parameters.
+
+    ``loss_fn(params, idx, weights, *aux) -> scalar`` computes the masked
+    minibatch loss; it owns the bank and gathers rows by ``idx`` itself (this
+    lets callers gather images, precomputed features, or both).
+    """
+    idx_all, w_all = minibatch_schedule(key, cfg)
+    opt_state = tx.init(params)
+    grad_fn = jax.grad(loss_fn)
+
+    def step(carry, sched):
+        p, s = carry
+        idx, w = sched
+        grads = grad_fn(p, idx, w, *aux)
+        updates, s = tx.update(grads, s, p)
+        return (optax.apply_updates(p, updates), s), None
+
+    (params, _), _ = jax.lax.scan(step, (params, opt_state), (idx_all, w_all))
+    return params
+
+
+def fo_maml_reattach(meta_params, adapted_params):
+    """First-order MAML gradient plumbing.
+
+    Returns a tree numerically equal to ``adapted_params`` whose gradient
+    flows to ``meta_params`` with an identity Jacobian — i.e. the outer loss
+    is evaluated at the adapted point but its gradient is applied to the
+    meta-initialization.  This reproduces the reference's mechanics where the
+    outer ``loss.backward()`` runs on the adapted copy loaded into the model
+    and ``MAML_update`` later subtracts the inner-loop delta so only the
+    outer-gradient step survives on the meta-init
+    (gnnnet.py:90-103,183-187; train.py:49-58).
+    """
+    return jax.tree.map(lambda m, a: m + jax.lax.stop_gradient(a - m), meta_params, adapted_params)

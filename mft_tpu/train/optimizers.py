@@ -1,0 +1,75 @@
+"""Optimizers with torch-exact update semantics.
+
+The reference relies on torch optimizer details in its inner loops — Adam
+with L2-coupled weight decay on the classifier (finetune.py:109,240), and SGD
+with momentum=0.9 *and dampening=0.9* for the linear probes
+(meta_template.py:166).  Accuracy parity requires reproducing those exact
+recursions, so they are implemented here as optax transforms rather than
+approximated with optax's stock aliases.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """torch.optim.Adam: L2 weight decay is added to the gradient *before*
+    the moment updates (unlike AdamW)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale(-lr))
+    return optax.chain(*parts)
+
+
+class TorchSGDState(NamedTuple):
+    momentum: optax.Updates
+    initialized: jnp.ndarray  # scalar bool: first step uses buf = grad
+
+
+def torch_sgd(lr: float, momentum: float = 0.0, dampening: float = 0.0, weight_decay: float = 0.0):
+    """torch.optim.SGD semantics:
+
+      g   <- grad + wd * param
+      buf <- g                         on the first step
+      buf <- mu * buf + (1 - damp) * g afterwards
+      p   <- p - lr * buf
+    """
+
+    def init(params):
+        return TorchSGDState(jax.tree.map(jnp.zeros_like, params), jnp.asarray(False))
+
+    def update(grads, state, params=None):
+        if weight_decay:
+            assert params is not None
+            grads = jax.tree.map(lambda g, p: g + weight_decay * p, grads, params)
+        if momentum == 0.0:
+            return jax.tree.map(lambda g: -lr * g, grads), state
+
+        def upd(buf, g):
+            warm = momentum * buf + (1.0 - dampening) * g
+            return jnp.where(state.initialized, warm, g)
+
+        buf = jax.tree.map(upd, state.momentum, grads)
+        updates = jax.tree.map(lambda b: -lr * b, buf)
+        return updates, TorchSGDState(buf, jnp.asarray(True))
+
+    return optax.GradientTransformation(init, update)
+
+
+def reference_probe_sgd(lr: float = 0.01):
+    """The linear-probe optimizer of meta_template.py:166 /
+    baselinefinetune.py: SGD(lr=0.01, momentum=0.9, dampening=0.9, wd=0.001)."""
+    return torch_sgd(lr, momentum=0.9, dampening=0.9, weight_decay=0.001)
+
+
+def grouped(transforms: dict, labels):
+    """Per-subtree optimizers (reference's separate delta_opt/classifier_opt,
+    finetune.py:109,124).  ``labels`` is a pytree (or prefix) of group names."""
+    return optax.multi_transform(transforms, labels)

@@ -16,6 +16,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax  # noqa: E402  (import after env is set)
 
+# a pytest plugin may import jax before this conftest runs, capturing the
+# ambient TPU platform — force the CPU backend at the config level too
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # The XLA CPU backend runs convs/matmuls in reduced precision by default in
 # this environment (~1e-3 error); force exact f32 for numeric parity tests.

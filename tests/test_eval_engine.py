@@ -1,0 +1,108 @@
+"""Per-episode transfer fine-tune eval engine on tiny shapes."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mft_tpu.core.episode import EpisodeSpec
+from mft_tpu.methods import gnnnet as gn
+from mft_tpu.models import backbone as bb
+from mft_tpu.train import eval_engine as ee
+
+SPEC = EpisodeSpec(n_way=3, n_support=2, n_query=3)
+BCFG = bb.resnet10()
+GCFG = gn.GnnNetCfg(feat_dim=512, n_way=3, n_support=2)
+TCFG = ee.TransferCfg(fine_tune_epochs=2, linear_epochs=2)
+IMG = 32
+R = 3  # replicas: clean x3 (gen_examples=0 analogue)
+
+
+@functools.lru_cache(maxsize=None)
+def _setup():
+    k = jax.random.PRNGKey(0)
+    kb, kh = jax.random.split(k)
+    params, stats = jax.jit(lambda k: bb.init_backbone(k, BCFG))(kb)
+    head = jax.jit(lambda k: gn.init_head(k, GCFG))(kh)
+    rs = np.random.RandomState(0)
+    # classes separable by channel mean so fine-tuning has signal
+    episode = rs.rand(SPEC.n_way, SPEC.n_per_class, IMG, IMG, 3).astype(np.float32) * 0.1
+    for c in range(SPEC.n_way):
+        episode[c, :, :, :, c] += 1.0
+    support = episode[:, : SPEC.n_support]
+    replicas = np.stack([support] * R)  # clean replicas (no augmentation here)
+    return params, stats, head, jnp.asarray(episode), jnp.asarray(replicas)
+
+
+@pytest.mark.parametrize("bn_mode", ["episode", "minibatch"])
+def test_gnn_member_scores_shape_and_softmax(bn_mode):
+    params, stats, head, episode, replicas = _setup()
+    tcfg = TCFG._replace(bn_mode=bn_mode)
+    fn = jax.jit(
+        lambda p, s, h, e, r, k: ee.gnn_member_scores(
+            p, s, h, e, r, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=tcfg
+        )
+    )
+    scores = fn(params, stats, head, episode, replicas, jax.random.PRNGKey(1))
+    assert scores.shape == (SPEC.query_size, SPEC.n_way)
+    np.testing.assert_allclose(np.asarray(scores).sum(1), 1.0, atol=1e-5)
+
+
+def test_linear_member_learns_separable_classes():
+    params, stats, head, episode, replicas = _setup()
+    tcfg = TCFG._replace(linear_epochs=20)
+    fn = jax.jit(
+        lambda p, s, e, r, k: ee.linear_member_scores(p, s, e, r, k, bcfg=BCFG, spec=SPEC, tcfg=tcfg)
+    )
+    scores = fn(params, stats, episode, replicas, jax.random.PRNGKey(2))
+    acc = ee.episode_accuracy(scores, SPEC)
+    assert scores.shape == (SPEC.query_size, SPEC.n_way)
+    # color-separable classes: the probe should beat chance (33%) comfortably
+    assert float(acc) > 50.0
+
+
+def test_ensemble_sums_two_softmaxes():
+    params, stats, head, episode, replicas = _setup()
+    fn = jax.jit(
+        lambda p, s, h, e, r, k: ee.ensemble_episode_scores(
+            p, s, p, s, h, e, r, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG
+        )
+    )
+    scores = fn(params, stats, head, episode, replicas, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(scores).sum(1), 2.0, atol=1e-5)
+
+
+def test_episode_scores_deterministic_and_vmappable():
+    params, stats, head, episode, replicas = _setup()
+    fn = jax.jit(
+        lambda p, s, h, e, r, k: ee.gnn_member_scores(
+            p, s, h, e, r, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG
+        )
+    )
+    a = fn(params, stats, head, episode, replicas, jax.random.PRNGKey(7))
+    b = fn(params, stats, head, episode, replicas, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # vmap across an episode batch — the >=20x lever
+    eps = jnp.stack([episode, episode])
+    reps = jnp.stack([replicas, replicas])
+    keys = jnp.stack([jax.random.PRNGKey(8), jax.random.PRNGKey(8)])  # same key -> same scores
+    vfn = jax.jit(
+        jax.vmap(
+            lambda e, r, k: ee.gnn_member_scores(
+                params, stats, head, e, r, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG
+            )
+        )
+    )
+    out = vfn(eps, reps, keys)
+    assert out.shape == (2, SPEC.query_size, SPEC.n_way)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-5)
+
+
+def test_accuracy_and_ci_helpers():
+    scores = jnp.asarray(np.eye(3).repeat(3, axis=0))  # perfect predictions
+    assert float(ee.episode_accuracy(scores, SPEC)) == 100.0
+    mean, ci = ee.mean_ci95(np.asarray([50.0, 60.0, 70.0]))
+    assert abs(mean - 60.0) < 1e-6 and ci > 0
