@@ -76,10 +76,9 @@ def main():
     @jax.jit
     def synth_batch(key):
         kt, kn = jax.random.split(key)
-        tint = jax.random.uniform(kt, (eval_batch, 5, 1, 1, 1, 3))
-        noise = jax.random.uniform(kn, (eval_batch, 5, 20, base_size, base_size, 3))
-        x = jnp.clip(0.55 * tint + 0.45 * noise, 0.0, 1.0)
-        return (x * 255.0).astype(jnp.uint8)
+        tint = jax.random.randint(kt, (eval_batch, 5, 1, 1, 1, 3), 0, 141, dtype=jnp.uint8)
+        noise = jax.random.randint(kn, (eval_batch, 5, 20, base_size, base_size, 3), 0, 115, dtype=jnp.uint8)
+        return tint + noise  # uint8 end to end: no multi-GB f32 temporary
 
     key = jax.random.PRNGKey(0)
     batches = [jax.block_until_ready(synth_batch(jax.random.PRNGKey(100 + i))) for i in range(2)]

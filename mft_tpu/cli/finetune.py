@@ -172,18 +172,21 @@ def main(argv=None):
     paths = cfg_mod.Paths.load(a.paths_json)
 
     spec = EpisodeSpec(a.test_n_way, a.n_shot, 15)  # n_query=15 (finetune.py:560-579)
-    bcfg = bb.MODEL_REGISTRY[a.model]()
+    bcfg = bb.MODEL_REGISTRY[a.model]()._replace(compute_dtype=a.dtype)
     gcfg = gn.GnnNetCfg(
         feat_dim=bcfg.feat_dim, n_way=a.test_n_way, n_support=a.n_shot,
-        support_compress=2 if a.n_shot >= 50 else 1,
+        support_compress=2 if a.n_shot >= 50 else 1, use_pallas=a.use_pallas,
     )
     entry = registry.get(a.test_dataset)
     print(f"Loading {a.test_dataset}")
     manifest = entry.builder(paths.as_dict())
     models = build_models(a, paths, bcfg, gcfg)
 
-    mean, ci, _, eps = evaluate(a, models, entry, manifest, bcfg=bcfg, gcfg=gcfg, spec=spec,
-                                logger=MetricLogger())
+    from mft_tpu.utils.metrics import profile_trace
+
+    with profile_trace(a.trace_dir):
+        mean, ci, _, eps = evaluate(a, models, entry, manifest, bcfg=bcfg, gcfg=gcfg, spec=spec,
+                                    logger=MetricLogger())
     print(a.test_dataset)
     print("%d Test Acc = %4.2f%% +- %4.2f%%" % (a.iter_num, mean, ci))
     print(f"episodes/sec = {eps:.3f}")

@@ -62,7 +62,8 @@ def build_model(params_key, method: str, model_name: str, n_way: int, n_support:
         build_model.damp_state = dstate  # picked up by run_dampnet; persisted in its checkpoints
     else:
         gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=n_way, n_support=n_support,
-                            support_compress=2 if n_support >= 50 else 1)
+                            support_compress=2 if n_support >= 50 else 1,
+                            use_pallas=getattr(build_model, "use_pallas", False))
         head = jax.jit(functools.partial(gn.init_head, cfg=gcfg))(kh)
         params = {"feature": feature, "fc": head["fc"], "gnn": head["gnn"]}
     return bcfg, gcfg, params, stats
@@ -81,10 +82,12 @@ def main(argv=None):
     n_query = max(1, int(16 * params_args.test_n_way / params_args.train_n_way))
     spec = EpisodeSpec(params_args.train_n_way, params_args.n_shot, n_query)
 
+    build_model.use_pallas = params_args.use_pallas
     bcfg, gcfg, params, stats = build_model(
         jax.random.PRNGKey(params_args.seed), params_args.method, params_args.model,
         params_args.train_n_way, params_args.n_shot, params_args.num_classes,
     )
+    bcfg = bcfg._replace(compute_dtype=params_args.dtype)
     tx = opt.torch_adam(1e-3)  # Adam(model.parameters()) defaults (train.py:27-28)
     opt_state = tx.init(params)
 

@@ -94,6 +94,8 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--seed", default=10, type=int, help="reference seed discipline (train.py:69)")
     parser.add_argument("--paths_json", default=None)
+    parser.add_argument("--trace_dir", default=None, help="jax.profiler trace output dir")
+    parser.add_argument("--use_pallas", action="store_true", help="fused Pallas edge kernel in the GNN head")
 
     if script == "train":
         parser.add_argument("--fine_tune", action="store_true", help="meta fine-tuning stage")

@@ -58,6 +58,10 @@ class ResNetCfg(NamedTuple):
     #: MXU input dtype: convs cast x/w to this and accumulate in f32; BN,
     #: residuals, and parameters stay f32 ('bfloat16' = the TPU fast path)
     compute_dtype: str = "float32"
+    #: stem-less variant (reference ResNet_fin, backbone.py:481-509: a single
+    #: final stage applied to 256-channel stage-3 feature maps)
+    stem: bool = True
+    stem_in: int = 3
 
     @property
     def feat_dim(self):
@@ -83,12 +87,33 @@ def resnet34(flatten: bool = True) -> ResNetCfg:
     return ResNetCfg((3, 4, 6, 3), (64, 128, 256, 512), "simple", flatten)
 
 
-#: reference io_utils.py:7-8 ``model_dict``
+def resnet8(flatten: bool = True) -> ResNetCfg:
+    """3-stage split-backbone variant (reference backbone.py:515-517 —
+    note the reference ignores its flatten arg and always returns maps)."""
+    return ResNetCfg((1, 1, 1), (64, 128, 256), "simple", flatten=False)
+
+
+def resnet_3(flatten: bool = False) -> ResNetCfg:
+    """ResNet_3 (reference backbone.py:441-479)."""
+    return ResNetCfg((1, 1, 1), (64, 128, 256), "simple", flatten)
+
+
+def resnet_fin(flatten: bool = True) -> ResNetCfg:
+    """Final-single-stage variant operating on 256-channel stage-3 maps
+    (reference backbone.py:481-513, ResNet_fin_func)."""
+    return ResNetCfg((1,), (512,), "simple", flatten, stem=False, stem_in=256)
+
+
+#: reference io_utils.py:7-8 ``model_dict`` (+ the split-backbone variants
+#: defined in backbone.py:512-517 for experiments)
 MODEL_REGISTRY = {
     "ResNet10": resnet10,
     "ResNet10_FW": resnet10_fw,
     "ResNet18": resnet18,
     "ResNet34": resnet34,
+    "ResNet8": resnet8,
+    "ResNet_3": resnet_3,
+    "ResNet_fin": resnet_fin,
 }
 
 
@@ -125,13 +150,18 @@ def init_backbone(key, cfg: ResNetCfg, dtype=jnp.float32):
     """Returns ``(params, stats)`` pytrees."""
     n_blocks = sum(cfg.stage_sizes)
     keys = jax.random.split(key, n_blocks + 1)
-    params = {
-        "stem_conv": conv_fanin_normal(keys[0], 7, 7, 3, 64, dtype),
-        "stem_bn": bn_params(64, dtype),
-        "stages": [],
-    }
-    stats = {"stem_bn": bn_stats(64, dtype), "stages": []}
-    cin = 64
+    if cfg.stem:
+        params = {
+            "stem_conv": conv_fanin_normal(keys[0], 7, 7, cfg.stem_in, 64, dtype),
+            "stem_bn": bn_params(64, dtype),
+            "stages": [],
+        }
+        stats = {"stem_bn": bn_stats(64, dtype), "stages": []}
+        cin = 64
+    else:  # stem-less ResNet_fin variant (backbone.py:481-509)
+        params = {"stages": []}
+        stats = {"stages": []}
+        cin = cfg.stem_in
     k = 1
     fwt = cfg.block == "fwt"
     for i, n in enumerate(cfg.stage_sizes):
@@ -241,12 +271,13 @@ def apply_backbone(
     ctx = BNCtx(train, train and update_stats, momentum, sample_mask)
     fwt = cfg.block == "fwt"
     new_stats = {"stages": [list(s) for s in stats["stages"]]}
-    new_stats["stem_bn"] = stats["stem_bn"]
+    if cfg.stem:
+        new_stats["stem_bn"] = stats["stem_bn"]
 
     n_blocks = sum(cfg.stage_sizes)
     rngs = list(jax.random.split(rng, n_blocks)) if (fwt and train and rng is not None) else [None] * n_blocks
 
-    if start_stage == 0:
+    if start_stage == 0 and cfg.stem:
         x = conv2d(x, params["stem_conv"], stride=2, padding=3, compute_dtype=cd)
         x, new_stats["stem_bn"] = _bn(x, params["stem_bn"], stats["stem_bn"], ctx)
         x = jax.nn.relu(x)
@@ -290,10 +321,11 @@ def apply_trunk(
     cd = _cd(cfg)
     ctx = BNCtx(train, False, 0.1, sample_mask)
     fwt = cfg.block == "fwt"
-    x = conv2d(x, params["stem_conv"], stride=2, padding=3, compute_dtype=cd)
-    x, _ = _bn(x, params["stem_bn"], stats["stem_bn"], ctx)
-    x = jax.nn.relu(x)
-    x = max_pool(x, 3, 2, 1)
+    if cfg.stem:
+        x = conv2d(x, params["stem_conv"], stride=2, padding=3, compute_dtype=cd)
+        x, _ = _bn(x, params["stem_bn"], stats["stem_bn"], ctx)
+        x = jax.nn.relu(x)
+        x = max_pool(x, 3, 2, 1)
     n_blocks = sum(cfg.stage_sizes)
     rngs = list(jax.random.split(rng, n_blocks)) if (fwt and train and rng is not None) else [None] * n_blocks
     bi = 0

@@ -76,7 +76,9 @@ def apply_wcompute(p, x: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     if use_pallas:
         from mft_tpu.ops.pallas.edge_mlp import edge_abs_diff_matmul
 
-        h = edge_abs_diff_matmul(x, p["conv1"]["w"], p["conv1"]["b"])
+        # the kernel runs in f32 (Mosaic's bf16 path for this edge reshape is
+        # unsupported on this toolchain; the head is tiny so f32 is free)
+        h = edge_abs_diff_matmul(x.astype(jnp.float32), p["conv1"]["w"], p["conv1"]["b"])
     else:
         h = jnp.abs(x[:, :, None, :] - x[:, None, :, :])  # [B, N, N, F]
         h = linear(h, p["conv1"])

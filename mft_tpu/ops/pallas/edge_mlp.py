@@ -53,7 +53,7 @@ def _fwd_kernel(rows_ref, x_ref, w_ref, b_ref, out_ref):
     n, f = x.shape
     ti = rows.shape[0]
     e = jnp.abs(rows[:, None, :] - x[None, :, :]).reshape(ti * n, f)
-    acc = jnp.dot(e, w_ref[:], preferred_element_type=jnp.float32)
+    acc = jnp.dot(e, w_ref[:].astype(e.dtype), preferred_element_type=jnp.float32)
     out_ref[0] = (acc + b_ref[:].astype(jnp.float32)).astype(out_ref.dtype)
 
 

@@ -97,7 +97,25 @@ def _adapt_block(
 
     fast = tcfg.bn_mode == "episode"
     if fast:
-        fmap_bank = bb.apply_trunk(trunk_p, trunk_s, bank_x[:span], cfg=bcfg, train=True)
+        # Precompute frozen-trunk features for the bank in replica-group
+        # chunks via lax.map: bounds peak activation memory (the stem output
+        # for the whole bank at once is multi-GB per episode lane) and keeps
+        # the trunk's batch-stats granularity close to the reference's
+        # minibatch statistics.
+        xs = bank_x[:span]
+        chunk = xs.shape[0]
+        # chunk = the largest divisor of span that is <= ~128 images
+        for cand in range(min(span, 128), 0, -1):
+            if span % cand == 0:
+                chunk = cand
+                break
+        n_chunks = span // chunk
+
+        def trunk_chunk(xc):
+            return bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=True)
+
+        fmap_bank = jax.lax.map(trunk_chunk, xs.reshape((n_chunks, chunk) + xs.shape[1:]))
+        fmap_bank = fmap_bank.reshape((span,) + fmap_bank.shape[2:])
         fmap_bank = jax.lax.stop_gradient(fmap_bank)
 
     def features_of(block, idx, w):

@@ -70,6 +70,24 @@ class MetricLogger:
                 f.write(json.dumps(rec) + "\n")
 
 
+def sparsity(cl_data_file: dict) -> float:
+    """Mean per-class count of nonzero feature entries
+    (reference utils.py:38-43)."""
+    import numpy as np
+
+    per_class = [np.mean([np.sum(x != 0) for x in feats]) for feats in cl_data_file.values()]
+    return float(np.mean(per_class))
+
+
+def one_hot(y, num_class: int):
+    """Reference utils.py:35-36."""
+    import numpy as np
+
+    out = np.zeros((len(y), num_class), np.float32)
+    out[np.arange(len(y)), np.asarray(y)] = 1.0
+    return out
+
+
 @contextlib.contextmanager
 def profile_trace(trace_dir: Optional[str]):
     """jax.profiler trace context (no-op when trace_dir is None)."""
