@@ -81,6 +81,11 @@ def inner_fit(
     minibatch loss; it owns the bank and gathers rows by ``idx`` itself (this
     lets callers gather images, precomputed features, or both).
     """
+    if cfg.epochs == 0:
+        # degenerate schedule: no adaptation.  Returning early also avoids a
+        # zero-length scan whose dead subgraph has been observed to perturb
+        # the SPMD partitioner (XLA CPU) — see tests/test_parallel.py.
+        return params
     idx_all, w_all = minibatch_schedule(key, cfg)
     opt_state = tx.init(params)
     grad_fn = jax.grad(loss_fn)

@@ -55,6 +55,40 @@ def test_sharded_training_step_matches_single_device():
     np.testing.assert_allclose(stem_sharded, stem_local, rtol=1e-4, atol=1e-6)
 
 
+def test_eval_program_sharded_matches_local():
+    """The episode-batched eval program gives identical accuracies whether
+    the episode axis is sharded over the 8-device mesh or local."""
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.data import registry
+    from mft_tpu.methods import gnnnet as gn
+    from mft_tpu.models import backbone as bb
+    from mft_tpu.train import eval_engine as ee
+
+    spec = EpisodeSpec(3, 2, 3)
+    bcfg = bb.resnet10()
+    gcfg = gn.GnnNetCfg(feat_dim=512, n_way=3, n_support=2)
+    kb, kh = jax.random.split(jax.random.PRNGKey(0))
+    feature, stats = jax.jit(lambda k: bb.init_backbone(k, bcfg))(kb)
+    head = jax.jit(lambda k: gn.init_head(k, gcfg))(kh)
+    models = {"gnn": (feature, stats, {"fc": head["fc"], "gnn": head["gnn"]})}
+    acfg = registry.get("synthetic").eval_aug._replace(image_size=16)
+    # zero inner-loop epochs: the adaptation scan is chaotic (fp-reorder
+    # differences between partitioned/local compilations amplify through 35
+    # optimizer steps and flip near-tie argmaxes); the sharding invariant is
+    # tested on the deterministic embed+score path
+    tcfg = ee.TransferCfg(fine_tune_epochs=0, linear_epochs=0)
+    prog = ee.make_eval_program(
+        method="gnnnet", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=acfg, gen_examples=1
+    )
+    eps = (np.random.RandomState(0).rand(8, 3, 5, 24, 24, 3) * 255).astype(np.uint8)
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+
+    scores_local, _ = prog(models, jnp.asarray(eps), keys)
+    mesh = pmesh.make_mesh()
+    scores_sharded, _ = prog(models, pmesh.shard_episode_batch(mesh, eps), keys)
+    np.testing.assert_allclose(np.asarray(scores_local), np.asarray(scores_sharded), atol=2e-3)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
