@@ -95,6 +95,8 @@ def _adapt_block(
     span = perm_span if perm_span is not None else bank_x.shape[0]
     icfg = InnerLoopCfg(epochs=epochs, batch_size=tcfg.batch_size, bank_size=span)
 
+    # frozen backbone runs in eval() -> running BN statistics (finetune.py:132-135)
+    bn_train = not tcfg.freeze_backbone
     fast = tcfg.bn_mode == "episode"
     if fast:
         # Precompute frozen-trunk features for the bank in replica-group
@@ -112,7 +114,7 @@ def _adapt_block(
         n_chunks = span // chunk
 
         def trunk_chunk(xc):
-            return bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=True)
+            return bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=bn_train)
 
         fmap_bank = jax.lax.map(trunk_chunk, xs.reshape((n_chunks, chunk) + xs.shape[1:]))
         fmap_bank = fmap_bank.reshape((span,) + fmap_bank.shape[2:])
@@ -121,10 +123,10 @@ def _adapt_block(
     def features_of(block, idx, w):
         if fast:
             f = fmap_bank[idx]
-            return bb.apply_final_block(block, block_s, f, cfg=bcfg, train=True, sample_mask=w)
+            return bb.apply_final_block(block, block_s, f, cfg=bcfg, train=bn_train, sample_mask=w)
         full = bb.adapt_merge(trunk_p, block)
         full_s = bb.adapt_merge(trunk_s, block_s)
-        feats, _ = bb.apply_backbone(full, full_s, bank_x[idx], cfg=bcfg, train=True, sample_mask=w)
+        feats, _ = bb.apply_backbone(full, full_s, bank_x[idx], cfg=bcfg, train=bn_train, sample_mask=w)
         return feats
 
     if head is None:
@@ -160,11 +162,13 @@ def _adapt_block(
     return adapted["adapt"], adapted["head"]
 
 
-def _embed_episode(params, stats, episode, *, bcfg, spec):
-    """Clean-episode features with train-mode BN over all images
-    (finetune.py:306: ``pretrained_model(x_inn)`` with model in train())."""
+def _embed_episode(params, stats, episode, *, bcfg, spec, train: bool = True):
+    """Clean-episode features; BN in batch-stats mode over all images by
+    default (finetune.py:306: ``pretrained_model(x_inn)`` with the model in
+    train()); ``--freeze_backbone`` switches the model to eval() and hence
+    running statistics (finetune.py:263-266)."""
     flat = flatten_episode(episode)
-    feats, _ = bb.apply_backbone(params, stats, flat, cfg=bcfg, train=True)
+    feats, _ = bb.apply_backbone(params, stats, flat, cfg=bcfg, train=train)
     return feats.reshape(spec.n_way, spec.n_per_class, -1)
 
 
@@ -187,6 +191,12 @@ def gnn_member_scores(
     ``support_replicas``: [R, n_way, n_support, H, W, C] — replica 0 must be
     the clean support; the caller controls R (= gen_examples + 3 to match the
     reference's triple-counted clean support)."""
+    if tcfg.freeze_backbone:
+        # frozen backbone: the GNN member's inner loss trains nothing the
+        # scoring uses (the throwaway classifier gets zero gradient), so the
+        # adaptation is a no-op; the model runs in eval() (finetune.py:263-266)
+        feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec, train=False)
+        return jax.nn.softmax(gnn_scores(head, feats, gcfg, spec.n_query), axis=1)
     bank_x = _bank_images(support_replicas)
     bank_y = bank_labels(spec, support_replicas.shape[0])
     adapted_block, _ = _adapt_block(
@@ -227,7 +237,7 @@ def linear_member_scores(
     )
     trunk_p, _ = bb.adapt_split(backbone_params)
     full = bb.adapt_merge(trunk_p, adapted_block)
-    feats = _embed_episode(full, backbone_stats, episode, bcfg=bcfg, spec=spec)
+    feats = _embed_episode(full, backbone_stats, episode, bcfg=bcfg, spec=spec, train=not tcfg.freeze_backbone)
     q_feats = feats[:, spec.n_support :].reshape(spec.query_size, -1)
     return jax.nn.softmax(classifier_logits(adapted_head, q_feats), axis=1)
 

@@ -101,6 +101,29 @@ def test_episode_scores_deterministic_and_vmappable():
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-5)
 
 
+def test_freeze_backbone_paths():
+    """--freeze_backbone: no adaptation in the GNN member (scores are
+    key-independent), head-only training + eval-mode BN in the linear member
+    (reference finetune.py:123-135,263-266)."""
+    params, stats, head, episode, replicas = _setup()
+    tcfg = TCFG._replace(freeze_backbone=True)
+    g = jax.jit(
+        lambda k: ee.gnn_member_scores(
+            params, stats, head, episode, replicas, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=tcfg
+        )
+    )
+    a = g(jax.random.PRNGKey(1))
+    b = g(jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    lin = jax.jit(
+        lambda k: ee.linear_member_scores(params, stats, episode, replicas, k, bcfg=BCFG, spec=SPEC, tcfg=tcfg)
+    )
+    s = lin(jax.random.PRNGKey(3))
+    assert s.shape == (SPEC.query_size, SPEC.n_way)
+    np.testing.assert_allclose(np.asarray(s).sum(1), 1.0, atol=1e-5)
+
+
 def test_accuracy_and_ci_helpers():
     scores = jnp.asarray(np.eye(3).repeat(3, axis=0))  # perfect predictions
     assert float(ee.episode_accuracy(scores, SPEC)) == 100.0
