@@ -20,8 +20,6 @@ CropDisease --n_shot 5 --train_aug --save_iter 600 --fine_tune_epoch 5
 
 from __future__ import annotations
 
-import functools
-import json
 import os
 import sys
 import time

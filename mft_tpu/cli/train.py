@@ -22,7 +22,6 @@ from __future__ import annotations
 import functools
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp

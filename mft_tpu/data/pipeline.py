@@ -15,8 +15,7 @@ on device (ops/augment.py).
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
-from typing import Optional
+
 
 import numpy as np
 
