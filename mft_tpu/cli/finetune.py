@@ -153,10 +153,13 @@ def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
         t0 = time.perf_counter()
         _, acc = jax.block_until_ready(program(models, base, keys))
         t_compute += time.perf_counter() - t0
-        acc_all.extend(np.asarray(acc)[:n_real].tolist())
+        batch_accs = np.asarray(acc)[:n_real]
+        acc_all.extend(batch_accs.tolist())
         done += n_real
-        for v in np.asarray(acc)[:n_real]:
-            print(float(v))
+        for j, v in enumerate(batch_accs):
+            print(float(v))  # per-episode accuracy (reference finetune.py:631)
+            if logger:
+                logger._write({"kind": "episode", "index": done - n_real + j, "acc": float(v)})
     mean, ci = ee.mean_ci95(np.asarray(acc_all))
     eps_per_sec = a.iter_num / t_compute if t_compute > 0 else 0.0
     if logger:
@@ -182,9 +185,10 @@ def main(argv=None):
 
     from mft_tpu.utils.metrics import profile_trace
 
+    logger = MetricLogger(jsonl_path=os.path.join(paths.save_dir, "eval_log.jsonl"))
     with profile_trace(a.trace_dir):
         mean, ci, _, eps = evaluate(a, models, entry, manifest, bcfg=bcfg, gcfg=gcfg, spec=spec,
-                                    logger=MetricLogger())
+                                    logger=logger)
     print(a.test_dataset)
     print("%d Test Acc = %4.2f%% +- %4.2f%%" % (a.iter_num, mean, ci))
     print(f"episodes/sec = {eps:.3f}")
