@@ -17,13 +17,14 @@ import jax.numpy as jnp
 import optax
 
 
-def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, mu_dtype=None):
     """torch.optim.Adam: L2 weight decay is added to the gradient *before*
-    the moment updates (unlike AdamW)."""
+    the moment updates (unlike AdamW).  ``mu_dtype`` (e.g. bfloat16) halves
+    the first-moment HBM traffic of per-episode inner loops."""
     parts = []
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
-    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype))
     parts.append(optax.scale(-lr))
     return optax.chain(*parts)
 
