@@ -56,6 +56,23 @@ def test_torch_sgd_momentum_dampening_first_step():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_torch_adam_lowmem_tracks_f32_adam():
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(3)
+    grads = [rs.randn(16).astype(np.float32) * 0.1 for _ in range(6)]
+    p0 = rs.randn(16).astype(np.float32)
+    ref = _run(opt.torch_adam(0.01, 0.001), grads, p0)
+    low = _run(opt.torch_adam_lowmem(0.01, 0.001), grads, p0)
+    # bf16 moment storage: trajectories agree to bf16 resolution
+    for a, b in zip(ref, low):
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-4)
+    # the state really is stored in bfloat16
+    tx = opt.torch_adam_lowmem(0.01)
+    st = tx.init({"w": jnp.ones(4)})
+    assert st["mu"]["w"].dtype == jnp.bfloat16 and st["nu"]["w"].dtype == jnp.bfloat16
+
+
 def test_grouped_transforms_apply_per_subtree():
     tx = opt.grouped(
         {"a": opt.torch_sgd(1.0), "b": opt.torch_sgd(0.0)},
