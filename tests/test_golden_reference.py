@@ -1,0 +1,178 @@
+"""Bit-level parity against golden tensors produced by RUNNING the torch
+reference (tools/gen_golden_reference.py -> tests/fixtures/golden_reference.npz).
+
+Unlike tests/oracles.py (NumPy re-derivations of the reference math, i.e. an
+independent re-*reading*), these fixtures are independent *artifacts*: the
+reference's own modules executed on fixed-seed tensors.  A transcription
+misreading of e.g. Wcompute's softmax axis (reference methods/gnn.py:106-115)
+or torch SGD dampening (meta_template.py:166) would fail here.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mft_tpu.models import backbone as bb
+from mft_tpu.models import gnn
+from mft_tpu.train import optimizers as opt
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_reference.npz")
+
+
+@pytest.fixture(scope="module")
+def g():
+    assert os.path.exists(FIX), "run tools/gen_golden_reference.py to regenerate"
+    return dict(np.load(FIX))
+
+
+def conv_hwio(w_oihw: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+
+
+def conv1x1_mat(w_oi11: np.ndarray, b: np.ndarray) -> dict:
+    return {"w": jnp.asarray(w_oi11[:, :, 0, 0].T), "b": jnp.asarray(b)}
+
+
+def lin_mat(w_oi: np.ndarray, b: np.ndarray) -> dict:
+    return {"w": jnp.asarray(w_oi.T), "b": jnp.asarray(b)}
+
+
+def bn_pair(g, prefix: str):
+    return {"scale": jnp.asarray(g[f"{prefix}.weight"]), "bias": jnp.asarray(g[f"{prefix}.bias"])}
+
+
+def bn_run(g, prefix: str):
+    return {"mean": jnp.asarray(g[f"{prefix}.running_mean"]), "var": jnp.asarray(g[f"{prefix}.running_var"])}
+
+
+# --------------------------------------------------------------------------
+# SimpleBlock (reference backbone.py:216-261)
+# --------------------------------------------------------------------------
+
+
+def _simple_block_trees(g):
+    p = {
+        "conv1": conv_hwio(g["simple_block.C1.weight"]),
+        "bn1": bn_pair(g, "simple_block.BN1"),
+        "conv2": conv_hwio(g["simple_block.C2.weight"]),
+        "bn2": bn_pair(g, "simple_block.BN2"),
+        "conv_sc": conv_hwio(g["simple_block.shortcut.weight"]),
+        "bn_sc": bn_pair(g, "simple_block.BNshortcut"),
+    }
+    s = {
+        "bn1": bn_run(g, "simple_block.BN1"),
+        "bn2": bn_run(g, "simple_block.BN2"),
+        "bn_sc": bn_run(g, "simple_block.BNshortcut"),
+    }
+    x = jnp.asarray(np.transpose(g["simple_block.x"], (0, 2, 3, 1)))  # NCHW->NHWC
+    return p, s, x
+
+
+def test_simple_block_eval_mode(g):
+    p, s, x = _simple_block_trees(g)
+    ctx = bb.BNCtx(use_batch_stats=False, update_stats=False, momentum=0.1, sample_mask=None)
+    y, _ = bb._apply_block(p, s, x, half_res=True, ctx=ctx, fwt=False, train=False, rng=None)
+    want = np.transpose(g["simple_block.y_eval"], (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
+
+
+def test_simple_block_train_mode_and_stat_update(g):
+    p, s, x = _simple_block_trees(g)
+    ctx = bb.BNCtx(use_batch_stats=True, update_stats=True, momentum=0.1, sample_mask=None)
+    y, new_s = bb._apply_block(p, s, x, half_res=True, ctx=ctx, fwt=False, train=True, rng=None)
+    want = np.transpose(g["simple_block.y_train"], (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
+    for ours, theirs in [("bn1", "BN1"), ("bn2", "BN2"), ("bn_sc", "BNshortcut")]:
+        np.testing.assert_allclose(
+            np.asarray(new_s[ours]["mean"]), g[f"simple_block.updated.{theirs}.running_mean"], rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_s[ours]["var"]), g[f"simple_block.updated.{theirs}.running_var"], rtol=1e-4, atol=1e-6
+        )
+
+
+# --------------------------------------------------------------------------
+# GNN head (reference methods/gnn.py)
+# --------------------------------------------------------------------------
+
+
+def _wcompute_tree(g, prefix: str):
+    p = {}
+    for i in range(1, 5):
+        p[f"conv{i}"] = conv1x1_mat(g[f"{prefix}.conv2d_{i}.weight"], g[f"{prefix}.conv2d_{i}.bias"])
+        p[f"bn{i}"] = bn_pair(g, f"{prefix}.bn_{i}")
+    p["conv_last"] = conv1x1_mat(g[f"{prefix}.conv2d_last.weight"], g[f"{prefix}.conv2d_last.bias"])
+    return p
+
+
+def _gconv_tree(g, prefix: str, bn: bool = True):
+    p = {"fc": lin_mat(g[f"{prefix}.fc.weight"], g[f"{prefix}.fc.bias"])}
+    if bn:
+        p["bn"] = bn_pair(g, f"{prefix}.bn")
+    return p
+
+
+def test_wcompute(g):
+    p = _wcompute_tree(g, "wcompute")
+    w = gnn.apply_wcompute(p, jnp.asarray(g["wcompute.x"]))
+    np.testing.assert_allclose(np.asarray(w), g["wcompute.W"], rtol=1e-4, atol=1e-5)
+
+
+def test_gconv(g):
+    p = _gconv_tree(g, "gconv")
+    y = gnn.apply_gconv(p, jnp.asarray(g["gconv.w_ops"]), jnp.asarray(g["gconv.x"]))
+    np.testing.assert_allclose(np.asarray(y), g["gconv.y"], rtol=1e-4, atol=1e-5)
+
+
+def test_gnn_nl_full(g):
+    p = {
+        "layers": [
+            {"w": _wcompute_tree(g, f"gnn_nl.layer_w{i}"), "l": _gconv_tree(g, f"gnn_nl.layer_l{i}")}
+            for i in range(2)
+        ],
+        "w_last": _wcompute_tree(g, "gnn_nl.w_comp_last"),
+        "l_last": _gconv_tree(g, "gnn_nl.layer_last", bn=False),
+    }
+    y = gnn.apply_gnn(p, jnp.asarray(g["gnn_nl.x"]))
+    np.testing.assert_allclose(np.asarray(y), g["gnn_nl.y"], rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Optimizer recursions (finetune.py:109,240; meta_template.py:166)
+# --------------------------------------------------------------------------
+
+
+def _run_optax(tx, p0, grads):
+    p = jnp.asarray(p0)
+    state = tx.init(p)
+    traj = []
+    for i in range(grads.shape[0]):
+        up, state = tx.update(jnp.asarray(grads[i]), state, p)
+        import optax
+
+        p = optax.apply_updates(p, up)
+        traj.append(np.asarray(p))
+    return np.stack(traj)
+
+
+def test_torch_adam_vs_golden(g):
+    traj = _run_optax(opt.torch_adam(0.01, weight_decay=0.001), g["opt.p0"], g["opt.grads"])
+    np.testing.assert_allclose(traj, g["opt.adam"], rtol=1e-5, atol=1e-6)
+
+
+def test_torch_adam_nowd_vs_golden(g):
+    traj = _run_optax(opt.torch_adam(0.01), g["opt.p0"], g["opt.grads"])
+    np.testing.assert_allclose(traj, g["opt.adam_nowd"], rtol=1e-5, atol=1e-6)
+
+
+def test_torch_adam_lowmem_tracks_golden(g):
+    """bf16-state Adam follows the torch trajectory to bf16 resolution."""
+    traj = _run_optax(opt.torch_adam_lowmem(0.01, weight_decay=0.001), g["opt.p0"], g["opt.grads"])
+    np.testing.assert_allclose(traj, g["opt.adam"], rtol=2e-2, atol=2e-3)
+
+
+def test_reference_probe_sgd_vs_golden(g):
+    traj = _run_optax(opt.reference_probe_sgd(0.01), g["opt.p0"], g["opt.grads"])
+    np.testing.assert_allclose(traj, g["opt.sgd_probe"], rtol=1e-5, atol=1e-6)
