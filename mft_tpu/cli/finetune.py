@@ -117,6 +117,40 @@ def build_models(a, paths, bcfg, gcfg):
     return models
 
 
+def compute_unsup_stats(a, paths, backbone_params, backbone_stats, bcfg, *, n_images: int = 200):
+    """Feature mean/std of an unlabeled dataset for the dampnet ``unsup``
+    recovery path (reference set_forward_unsup, dampnet_full.py:298-348:
+    ``x_u_mean/x_u_std`` are supplied from an external unlabeled sweep).
+
+    Embeds up to ``n_images`` center views of ``--unsupervised`` through the
+    backbone in one jitted chunked program and returns ``(mean, std)`` over
+    the feature axis."""
+    from mft_tpu.data.pipeline import decode_image
+    from mft_tpu.ops import augment as aug
+
+    entry_u = registry.get(a.unsupervised)
+    manifest_u = registry.build_manifest(entry_u, paths.as_dict())
+    idx = np.linspace(0, len(manifest_u) - 1, min(n_images, len(manifest_u))).astype(np.int64)
+    imgs = np.stack([decode_image(manifest_u.items[i], a.base_size) for i in idx])
+
+    @jax.jit
+    def embed(params, stats, x_u8):
+        x = aug.center_batch(x_u8, a.image_size)
+        chunks = x.reshape((-1, min(50, x.shape[0])) + x.shape[1:])
+        feats = jax.lax.map(
+            lambda xc: bb.apply_backbone(params, stats, xc, cfg=bcfg, train=True)[0], chunks
+        )
+        feats = feats.reshape(-1, feats.shape[-1])
+        return jnp.mean(feats, axis=0), jnp.std(feats, axis=0)
+
+    # pad to a multiple of the chunk size
+    chunk = min(50, len(imgs))
+    pad = (-len(imgs)) % chunk
+    if pad:
+        imgs = np.concatenate([imgs, imgs[:pad]])
+    return embed(backbone_params, backbone_stats, jnp.asarray(imgs))
+
+
 def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
     """Run the episode loop; returns (acc_mean, ci95, acc_all, eps_per_sec)."""
     aug_cfg = entry.eval_aug._replace(image_size=a.image_size)
@@ -180,8 +214,13 @@ def main(argv=None):
     )
     entry = registry.get(a.test_dataset)
     print(f"Loading {a.test_dataset}")
-    manifest = entry.builder(paths.as_dict())
+    # filelist-backed datasets (CUB/cross) evaluate on their novel split
+    manifest = registry.build_manifest(entry, paths.as_dict(), split="novel")
     models = build_models(a, paths, bcfg, gcfg)
+    if a.unsupervised and a.method.startswith("dampnet"):
+        dp, ds_, _, _ = models["dampnet"]
+        models["unsup_stats"] = compute_unsup_stats(a, paths, dp, ds_, bcfg)
+        print(f"unsup recovery stats from {a.unsupervised}")
 
     from mft_tpu.utils.metrics import profile_trace
 

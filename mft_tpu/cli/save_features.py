@@ -44,7 +44,7 @@ def main(argv=None):
     params, stats = _load_backbone_state(path, bcfg)
 
     entry = registry.get(a.dataset)
-    manifest = entry.builder(paths.as_dict())
+    manifest = registry.build_manifest(entry, paths.as_dict(), split=a.split)
 
     @jax.jit
     def embed(x_u8):

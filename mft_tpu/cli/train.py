@@ -42,10 +42,15 @@ from mft_tpu.utils import checkpoint as ckpt
 from mft_tpu.utils.metrics import AverageMeter, MetricLogger
 
 
-def build_model(params_key, method: str, model_name: str, n_way: int, n_support: int, num_classes: int):
+def build_model(params_key, method: str, model_name: str, n_way: int, n_support: int, num_classes: int,
+                *, use_pallas: bool = False):
+    """Returns ``(bcfg, gcfg, params, stats, damp_state)``; ``damp_state`` is
+    None except for dampnet methods (whose prototype banks are explicit state,
+    persisted in their checkpoints)."""
     bcfg = bb.MODEL_REGISTRY[model_name]()
     kb, kh = jax.random.split(params_key)
     feature, stats = jax.jit(functools.partial(bb.init_backbone, cfg=bcfg))(kb)
+    damp_state = None
     if method == "baseline":
         params = {"feature": feature, "classifier": init_classifier(kh, bcfg.feat_dim, num_classes)}
         gcfg = None
@@ -56,16 +61,15 @@ def build_model(params_key, method: str, model_name: str, n_way: int, n_support:
             feat_dim=bcfg.feat_dim, n_way=n_way, n_support=n_support,
             stat="class" if method == "dampnet_full_class" else "support",
         )
-        dparams, dstate = jax.jit(functools.partial(dn.init_dampnet, cfg=gcfg))(kh)
+        dparams, damp_state = jax.jit(functools.partial(dn.init_dampnet, cfg=gcfg))(kh)
         params = {"feature": feature, **dparams}
-        build_model.damp_state = dstate  # picked up by run_dampnet; persisted in its checkpoints
     else:
         gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=n_way, n_support=n_support,
                             support_compress=2 if n_support >= 50 else 1,
-                            use_pallas=getattr(build_model, "use_pallas", False))
+                            use_pallas=use_pallas)
         head = jax.jit(functools.partial(gn.init_head, cfg=gcfg))(kh)
         params = {"feature": feature, "fc": head["fc"], "gnn": head["gnn"]}
-    return bcfg, gcfg, params, stats
+    return bcfg, gcfg, params, stats, damp_state
 
 
 def main(argv=None):
@@ -74,17 +78,17 @@ def main(argv=None):
     np.random.seed(params_args.seed)  # reference seed discipline (train.py:69-70)
 
     entry = registry.get(params_args.dataset)
-    manifest = entry.builder(paths.as_dict())
+    manifest = registry.build_manifest(entry, paths.as_dict(), split="base")
     train_aug_cfg = entry.train_aug._replace(image_size=params_args.image_size)
 
     # reference n_query rule (train.py:112)
     n_query = max(1, int(16 * params_args.test_n_way / params_args.train_n_way))
     spec = EpisodeSpec(params_args.train_n_way, params_args.n_shot, n_query)
 
-    build_model.use_pallas = params_args.use_pallas
-    bcfg, gcfg, params, stats = build_model(
+    bcfg, gcfg, params, stats, damp_state = build_model(
         jax.random.PRNGKey(params_args.seed), params_args.method, params_args.model,
         params_args.train_n_way, params_args.n_shot, params_args.num_classes,
+        use_pallas=params_args.use_pallas,
     )
     bcfg = bcfg._replace(compute_dtype=params_args.dtype)
     tx = opt.torch_adam(1e-3)  # Adam(model.parameters()) defaults (train.py:27-28)
@@ -113,7 +117,7 @@ def main(argv=None):
                      ckpt_dir, logger, start_epoch, rng)
     elif params_args.method.startswith("dampnet"):
         run_dampnet(params_args, manifest, train_aug_cfg, bcfg, gcfg, spec, params, stats, tx,
-                    opt_state, ckpt_dir, logger, start_epoch, rng, build_model.damp_state)
+                    opt_state, ckpt_dir, logger, start_epoch, rng, damp_state)
     else:
         run_episodic(params_args, manifest, train_aug_cfg, bcfg, gcfg, spec, params, stats, tx,
                      opt_state, ckpt_dir, logger, start_epoch, rng)

@@ -30,6 +30,10 @@ class Paths:
     EuroSAT: str = "content/2750"
     cifar100: str = "content/cifar100"
     caltech256: str = "content/caltech256"
+    # filelist-backed datasets: directories holding base/val/novel.json
+    # written by cli.make_filelists (reference filelists/ tooling)
+    CUB: str = "filelists/CUB"
+    cross: str = "filelists/cross"
 
     @classmethod
     def load(cls, json_path: str | None = None) -> "Paths":
@@ -109,8 +113,11 @@ def parse_args(script: str, argv=None):
         parser.add_argument("--split", default="novel")
         if script == "test":
             parser.add_argument("--adaptation", action="store_true")
-            parser.add_argument("--unsup", action="store_true")
-            parser.add_argument("--unsup_cluster", action="store_true")
+            # NOTE: the reference's io_utils.py:42-43 also declares --unsup /
+            # --unsup_cluster for its (absent) test.py; the working unsup
+            # capability here is finetune's --unsupervised flag, which feeds
+            # dampnet's unsup recovery (set_forward_unsup semantics).  Dead
+            # flags are deliberately not reproduced.
     else:
         raise ValueError("Unknown script")
     return parser.parse_args(argv)

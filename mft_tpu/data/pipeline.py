@@ -80,12 +80,14 @@ class EpisodeStream:
         self.sampler = EpisodicSampler(manifest.by_class(), spec, n_episodes, seed=seed)
         self.workers = workers
         self.prefetch = prefetch
+        # one persistent decode pool for the stream's lifetime (a fresh pool
+        # per episode churns worker threads on the hot input path)
+        self._decode_pool = cf.ThreadPoolExecutor(self.workers)
 
     def _load(self, i: int):
         ep = self.sampler.episode(i)
         flat = ep.items.reshape(-1)
-        with cf.ThreadPoolExecutor(self.workers) as pool:
-            imgs = list(pool.map(lambda j: decode_image(self.manifest.items[j], self.base_size), flat))
+        imgs = list(self._decode_pool.map(lambda j: decode_image(self.manifest.items[j], self.base_size), flat))
         images = np.stack(imgs).reshape(
             self.spec.n_way, self.spec.n_per_class, self.base_size, self.base_size, 3
         )

@@ -30,6 +30,10 @@ class DatasetEntry:
     builder: Callable[..., mf.Manifest]  # (cfg_paths) -> Manifest
     train_aug: AugmentCfg
     eval_aug: AugmentCfg
+    #: optional per-split builders for filelist-backed datasets
+    #: (base/val/novel.json — the reference's data/ JSON pipeline,
+    #: data/dataset.py:10-26); ``builder`` stays the training (base) split.
+    split_builders: Optional[dict] = None
 
 
 def register(entry: DatasetEntry):
@@ -43,8 +47,24 @@ def get(name: str) -> DatasetEntry:
     return _REGISTRY[name]
 
 
+def build_manifest(entry: DatasetEntry, paths: dict, split: Optional[str] = None) -> mf.Manifest:
+    """Build the manifest for ``split`` if the dataset is split-aware
+    (filelist-backed), else the dataset's single manifest."""
+    if split and entry.split_builders and split in entry.split_builders:
+        return entry.split_builders[split](paths)
+    return entry.builder(paths)
+
+
 def names():
     return sorted(_REGISTRY)
+
+
+def _filelist_splits(path_key: str) -> dict:
+    """base/val/novel.json builders rooted at ``paths[path_key]``."""
+    return {
+        s: (lambda paths, s=s: mf.json_filelist(os.path.join(paths[path_key], f"{s}.json")))
+        for s in ("base", "val", "novel")
+    }
 
 
 register(
@@ -134,6 +154,28 @@ register(
         lambda paths: mf.image_folder(paths["caltech256"]),
         train_aug=_MINI_TRAIN,
         eval_aug=_MINI_TRAIN,
+    )
+)
+
+register(
+    DatasetEntry(
+        "CUB",
+        None,  # split-dependent (200 classes split by index, write_CUB_filelist.py)
+        lambda paths: mf.json_filelist(os.path.join(paths["CUB"], "base.json")),
+        train_aug=_MINI_TRAIN,  # generic train stack via data/datamgr.py:11-43
+        eval_aug=_MINI_TRAIN,
+        split_builders=_filelist_splits("CUB"),
+    )
+)
+
+register(
+    DatasetEntry(
+        "cross",
+        None,  # base = all 100 miniImageNet classes; val/novel from CUB
+        lambda paths: mf.json_filelist(os.path.join(paths["cross"], "base.json")),
+        train_aug=_MINI_TRAIN,
+        eval_aug=_MINI_TRAIN,
+        split_builders=_filelist_splits("cross"),
     )
 )
 

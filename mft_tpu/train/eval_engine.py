@@ -61,6 +61,13 @@ class TransferCfg(NamedTuple):
     #: ~2x (122 -> 93 ms/ep on v5e) with bitwise-identical predictions on
     #: the validation episodes; 'float32' = strict torch-Adam state parity.
     opt_state_dtype: str = "bfloat16"
+    #: dtype the adapted block's parameters are *carried* in across inner
+    #: scan steps.  The scans are HBM-bound on per-lane parameter + optimizer
+    #: traffic (docs/PERF.md), so bfloat16 storage buys ~25-35%; per-step
+    #: Adam math stays f32.  'float32' = strict parity.
+    inner_param_dtype: str = "float32"
+    #: lax.scan unroll factor for the inner scans (see InnerLoopCfg.unroll)
+    inner_unroll: int = 1
 
 
 def bank_labels(spec: EpisodeSpec, replicas: int) -> jnp.ndarray:
@@ -74,10 +81,59 @@ def _bank_images(support_replicas: jnp.ndarray) -> jnp.ndarray:
     return support_replicas.reshape((r * support_replicas.shape[1] * support_replicas.shape[2],) + support_replicas.shape[3:])
 
 
+def _bank_fmap(
+    trunk_p,
+    trunk_s,
+    support_base: jnp.ndarray,
+    key,
+    *,
+    bcfg: bb.ResNetCfg,
+    aug_cfg,
+    gen_examples: int,
+    bn_train: bool,
+    clean_only: bool = False,
+):
+    """Frozen-trunk feature maps of the eval support bank, one replica group
+    at a time.
+
+    TPU-first memory shape: the reference materializes the whole augmented
+    image bank (f32 ``[R*support, 224, 224, 3]`` ≈ 300 MB per episode lane);
+    here each replica group is augmented on the fly (ops/augment.py), pushed
+    through the frozen trunk, and discarded — peak extra memory is one
+    25-image group, and only the ``[R*support, 14, 14, C]`` feature bank
+    (bf16 under the fast path) stays resident.  Trunk BN batch statistics are
+    computed per replica group (one full support set), the closest
+    granularity to the reference's per-bank semantics that never stores
+    images.
+
+    ``clean_only``: the linear member trains on the clean support alone
+    (reference finetune.py:139-140), so its bank is one center-view group.
+    Returns ``[span, h, w, c]`` with replica order = clean x3 then the
+    ``gen_examples`` augmented groups (finetune.py:93,225-233).
+    """
+    from mft_tpu.ops.augment import augment_batch, center_batch, to_float
+
+    support = to_float(support_base)
+    n = support.shape[0] * support.shape[1]
+
+    def trunk_of(imgs):
+        flat = imgs.reshape((n,) + imgs.shape[2:])
+        return bb.apply_trunk(trunk_p, trunk_s, flat, cfg=bcfg, train=bn_train)
+
+    clean = trunk_of(center_batch(support, aug_cfg.image_size))
+    if clean_only:
+        return jax.lax.stop_gradient(clean)
+    fmap = jnp.stack([clean, clean, clean])
+    if gen_examples:
+        keys = jax.random.split(key, gen_examples)
+        augs = jax.lax.map(lambda k: trunk_of(augment_batch(k, support, aug_cfg)), keys)
+        fmap = jnp.concatenate([fmap, augs], axis=0)
+    return jax.lax.stop_gradient(fmap.reshape((-1,) + fmap.shape[2:]))
+
+
 def _adapt_block(
     params,
     stats,
-    bank_x,
     bank_y,
     key,
     *,
@@ -87,43 +143,36 @@ def _adapt_block(
     head: Optional[dict],
     train_head_only: bool = False,
     perm_span: Optional[int] = None,
+    bank_x: Optional[jnp.ndarray] = None,
+    fmap_bank: Optional[jnp.ndarray] = None,
 ):
     """Fine-tune the final block (and optional linear head) on a bank.
 
-    ``perm_span``: if given, permutations span only the first ``perm_span``
-    bank rows (the linear member's clean-support-only quirk).
+    Exactly one of ``fmap_bank`` (fast path: precomputed frozen-trunk feature
+    maps, already restricted to the permutation span) or ``bank_x``
+    (faithful path: bank images; the full backbone reruns per minibatch,
+    reference finetune.py:286) must be given.  ``perm_span``: permutations
+    span only the first ``perm_span`` bank rows (the linear member's
+    clean-support-only quirk).
 
     Returns ``(adapted_block, adapted_head)``.
     """
     trunk_p, block_p = bb.adapt_split(params)
     trunk_s, block_s = bb.adapt_split(stats)
-    span = perm_span if perm_span is not None else bank_x.shape[0]
-    icfg = InnerLoopCfg(epochs=epochs, batch_size=tcfg.batch_size, bank_size=span)
+    fast = fmap_bank is not None
+    span = perm_span if perm_span is not None else (fmap_bank.shape[0] if fast else bank_x.shape[0])
+    icfg = InnerLoopCfg(epochs=epochs, batch_size=tcfg.batch_size, bank_size=span, unroll=tcfg.inner_unroll)
 
     # frozen backbone runs in eval() -> running BN statistics (finetune.py:132-135)
     bn_train = not tcfg.freeze_backbone
-    fast = tcfg.bn_mode == "episode"
-    if fast:
-        # Precompute frozen-trunk features for the bank in replica-group
-        # chunks via lax.map: bounds peak activation memory (the stem output
-        # for the whole bank at once is multi-GB per episode lane) and keeps
-        # the trunk's batch-stats granularity close to the reference's
-        # minibatch statistics.
-        xs = bank_x[:span]
-        chunk = xs.shape[0]
-        # chunk = the largest divisor of span that is <= ~128 images
-        for cand in range(min(span, 128), 0, -1):
-            if span % cand == 0:
-                chunk = cand
-                break
-        n_chunks = span // chunk
 
-        def trunk_chunk(xc):
-            return bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=bn_train)
-
-        fmap_bank = jax.lax.map(trunk_chunk, xs.reshape((n_chunks, chunk) + xs.shape[1:]))
-        fmap_bank = fmap_bank.reshape((span,) + fmap_bank.shape[2:])
-        fmap_bank = jax.lax.stop_gradient(fmap_bank)
+    if tcfg.inner_param_dtype != "float32":
+        # carry the adapted parameters in bf16 across scan steps: the scans
+        # are HBM-bound on per-lane parameter traffic (docs/PERF.md §ablation)
+        pd = jnp.dtype(tcfg.inner_param_dtype)
+        cast = lambda t: jax.tree.map(lambda a: a.astype(pd), t)
+        block_p = cast(block_p)
+        head = cast(head) if head is not None else None
 
     def features_of(block, idx, w):
         if fast:
@@ -178,36 +227,67 @@ def _embed_episode(params, stats, episode, *, bcfg, spec, train: bool = True):
     return feats.reshape(spec.n_way, spec.n_per_class, -1)
 
 
+def _is_fast_bank(support_bank: jnp.ndarray) -> bool:
+    """Fast (episode) mode passes the raw base-res support
+    ``[n_way, n_support, H0, W0, 3]``; the faithful minibatch mode passes
+    materialized replicas ``[R, n_way, n_support, S, S, 3]``."""
+    return support_bank.ndim == 5
+
+
+def _member_bank(
+    backbone_params, backbone_stats, support_bank, k_aug, *,
+    bcfg, tcfg, aug_cfg, gen_examples, clean_only: bool = False,
+):
+    """Returns ``(fmap_bank, bank_x, n_replicas)`` for :func:`_adapt_block`."""
+    if _is_fast_bank(support_bank):
+        trunk_p, _ = bb.adapt_split(backbone_params)
+        trunk_s, _ = bb.adapt_split(backbone_stats)
+        fmap = _bank_fmap(
+            trunk_p, trunk_s, support_bank, k_aug, bcfg=bcfg, aug_cfg=aug_cfg,
+            gen_examples=gen_examples, bn_train=not tcfg.freeze_backbone, clean_only=clean_only,
+        )
+        return fmap, None, (1 if clean_only else gen_examples + 3)
+    return None, _bank_images(support_bank), support_bank.shape[0]
+
+
 def gnn_member_scores(
     backbone_params,
     backbone_stats,
     head,
     episode,
-    support_replicas,
-    key,
+    support_bank,
+    k_aug,
+    k_fit,
     *,
     bcfg: bb.ResNetCfg,
     gcfg: GnnNetCfg,
     spec: EpisodeSpec,
     tcfg: TransferCfg,
+    aug_cfg=None,
+    gen_examples: int = 0,
 ):
     """finetune() with the GNN head (finetune.py:182-328) -> softmax scores
     [n_way*n_query, n_way].
 
-    ``support_replicas``: [R, n_way, n_support, H, W, C] — replica 0 must be
-    the clean support; the caller controls R (= gen_examples + 3 to match the
-    reference's triple-counted clean support)."""
+    ``support_bank``: raw base-res support (fast path, replicas generated on
+    the fly from ``k_aug``) or materialized replicas with replica 0 = clean
+    (faithful path; R = gen_examples + 3 matches the reference's
+    triple-counted clean support)."""
     if tcfg.freeze_backbone:
         # frozen backbone: the GNN member's inner loss trains nothing the
         # scoring uses (the throwaway classifier gets zero gradient), so the
         # adaptation is a no-op; the model runs in eval() (finetune.py:263-266)
         feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec, train=False)
         return jax.nn.softmax(gnn_scores(head, feats, gcfg, spec.n_query), axis=1)
-    bank_x = _bank_images(support_replicas)
-    bank_y = bank_labels(spec, support_replicas.shape[0])
+    fmap_bank, bank_x, n_rep = _member_bank(
+        backbone_params, backbone_stats, support_bank, k_aug,
+        bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+    )
+    bank_y = bank_labels(spec, n_rep)
     adapted_block, _ = _adapt_block(
-        backbone_params, backbone_stats, bank_x, bank_y, key,
+        backbone_params, backbone_stats, bank_y, k_fit,
         bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
+        fmap_bank=fmap_bank, bank_x=bank_x,
     )
     trunk_p, _ = bb.adapt_split(backbone_params)
     full = bb.adapt_merge(trunk_p, adapted_block)
@@ -220,26 +300,33 @@ def linear_member_scores(
     backbone_params,
     backbone_stats,
     episode,
-    support_replicas,
-    key,
+    support_bank,
+    k_aug,
+    k_fit,
     *,
     bcfg: bb.ResNetCfg,
     spec: EpisodeSpec,
     tcfg: TransferCfg,
+    aug_cfg=None,
+    gen_examples: int = 0,
 ):
     """finetune_linear (finetune.py:45-174) -> softmax scores.
 
-    Builds the full augmented bank but — reproducing the reference quirk —
-    only permutes/trains over the first ``support_size`` rows (the clean
-    support), for ``linear_epochs`` epochs."""
-    k_head, k_fit = jax.random.split(key)
+    Reproduces the reference quirk of building the full augmented bank but
+    permuting/training over only the first ``support_size`` rows (the clean
+    support), for ``linear_epochs`` epochs — the fast path therefore never
+    builds the augmented groups at all (``clean_only``)."""
+    k_head, k_fit = jax.random.split(k_fit)
     head0 = init_classifier(k_head, bcfg.feat_dim, spec.n_way, zero_bias=False)
-    bank_x = _bank_images(support_replicas)
-    bank_y = bank_labels(spec, support_replicas.shape[0])
+    fmap_bank, bank_x, n_rep = _member_bank(
+        backbone_params, backbone_stats, support_bank, k_aug,
+        bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples, clean_only=True,
+    )
+    bank_y = bank_labels(spec, n_rep)
     adapted_block, adapted_head = _adapt_block(
-        backbone_params, backbone_stats, bank_x, bank_y, k_fit,
+        backbone_params, backbone_stats, bank_y, k_fit,
         bcfg=bcfg, tcfg=tcfg, epochs=tcfg.linear_epochs, head=head0,
-        perm_span=spec.support_size,
+        perm_span=spec.support_size, fmap_bank=fmap_bank, bank_x=bank_x,
     )
     trunk_p, _ = bb.adapt_split(backbone_params)
     full = bb.adapt_merge(trunk_p, adapted_block)
@@ -252,12 +339,15 @@ def proto_member_scores(
     backbone_params,
     backbone_stats,
     episode,
-    support_replicas,
-    key,
+    support_bank,
+    k_aug,
+    k_fit,
     *,
     bcfg: bb.ResNetCfg,
     spec: EpisodeSpec,
     tcfg: TransferCfg,
+    aug_cfg=None,
+    gen_examples: int = 0,
 ):
     """finetune() with the ProtoNet head (--method protonet,
     finetune.py:441-442,619 + protonet.py:30-39): same block adaptation as
@@ -265,11 +355,15 @@ def proto_member_scores(
     distances on the adapted features."""
     from mft_tpu.methods.protonet import proto_scores
 
-    bank_x = _bank_images(support_replicas)
-    bank_y = bank_labels(spec, support_replicas.shape[0])
+    fmap_bank, bank_x, n_rep = _member_bank(
+        backbone_params, backbone_stats, support_bank, k_aug,
+        bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+    )
+    bank_y = bank_labels(spec, n_rep)
     adapted_block, _ = _adapt_block(
-        backbone_params, backbone_stats, bank_x, bank_y, key,
+        backbone_params, backbone_stats, bank_y, k_fit,
         bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
+        fmap_bank=fmap_bank, bank_x=bank_x,
     )
     trunk_p, _ = bb.adapt_split(backbone_params)
     full = bb.adapt_merge(trunk_p, adapted_block)
@@ -285,23 +379,28 @@ def ensemble_episode_scores(
     gnn_backbone_stats,
     gnn_head,
     episode,
-    support_replicas,
+    support_bank,
+    k_aug,
     key,
     *,
     bcfg: bb.ResNetCfg,
     gcfg: GnnNetCfg,
     spec: EpisodeSpec,
     tcfg: TransferCfg,
+    aug_cfg=None,
+    gen_examples: int = 0,
 ):
     """--method all: softmax(linear member) + softmax(GNN member)
-    (finetune.py:648-650)."""
+    (finetune.py:648-650).  Both members share ``k_aug`` — the reference
+    hands the same liz_x bank to both (finetune.py:648-650)."""
     k1, k2 = jax.random.split(key)
     s_lin = linear_member_scores(
-        baseline_params, baseline_stats, episode, support_replicas, k1, bcfg=bcfg, spec=spec, tcfg=tcfg
+        baseline_params, baseline_stats, episode, support_bank, k_aug, k1,
+        bcfg=bcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
     )
     s_gnn = gnn_member_scores(
-        gnn_backbone_params, gnn_backbone_stats, gnn_head, episode, support_replicas, k2,
-        bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg,
+        gnn_backbone_params, gnn_backbone_stats, gnn_head, episode, support_bank, k_aug, k2,
+        bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
     )
     return s_lin + s_gnn
 
@@ -318,18 +417,30 @@ def dampnet_member_scores(
     dcfg,
     spec: EpisodeSpec,
     with_linear_fusion: bool = True,
+    unsup_stats=None,
 ):
     """``nofinetune`` with the DampNet domain-shift path (finetune.py:331-417,
     the dampnet branch of the eval drivers): no backbone adaptation — embed
     the episode, recover features vs the source prototypes, score via
     fc+GNN; optionally fuse half the softmax of the 100-epoch linear probe
-    on the recovered 128-d projections (:378-414)."""
+    on the recovered 128-d projections (:378-414).
+
+    ``unsup_stats=(mean, std)``: recovery conditioned on an externally
+    supplied unlabeled dataset's feature statistics instead of the episode's
+    own support stats — the ``--unsupervised`` path (reference
+    set_forward_unsup, dampnet_full.py:298-348, which returns the GNN scores
+    without the probe fusion)."""
     from mft_tpu.methods.baseline import ce_loss
     from mft_tpu.methods.dampnet import dampnet_scores, recovered_projection
     from mft_tpu.train.inner_loop import InnerLoopCfg, inner_fit
     from mft_tpu.train.optimizers import reference_probe_sgd
 
     feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec)
+    if unsup_stats is not None:
+        scores = dampnet_scores(
+            damp_params, damp_state, feats, dcfg, spec.n_query, mode="unsup", unsup_stats=unsup_stats
+        )
+        return jax.nn.softmax(scores, axis=1)
     scores = dampnet_scores(damp_params, damp_state, feats, dcfg, spec.n_query, mode="domain_shift")
     out = jax.nn.softmax(scores, axis=1)
     if not with_linear_fusion:
@@ -382,28 +493,40 @@ def make_eval_program(
         k_aug, k_fit = jax.random.split(key)
         episode = center_batch(base_episode, aug_cfg.image_size)
         support = base_episode[:, : spec.n_support]
-        replicas = make_eval_replicas(k_aug, support, aug_cfg, gen_examples)
+        if tcfg.bn_mode == "episode":
+            # fast path: members fan replicas out on the fly inside the
+            # frozen-trunk precompute (never materializes the image bank)
+            bank = support
+        else:
+            bank = make_eval_replicas(k_aug, support, aug_cfg, gen_examples)
+        mkw = dict(aug_cfg=aug_cfg, gen_examples=gen_examples)
         if method == "all":
             bp, bs = models["baseline"]
             gp, gs, head = models["gnn"]
             scores = ensemble_episode_scores(
-                bp, bs, gp, gs, head, episode, replicas, k_fit, bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg
+                bp, bs, gp, gs, head, episode, bank, k_aug, k_fit,
+                bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, **mkw,
             )
         elif method in ("gnnnet", "gnnnet_maml"):
             gp, gs, head = models["gnn"]
             scores = gnn_member_scores(
-                gp, gs, head, episode, replicas, k_fit, bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg
+                gp, gs, head, episode, bank, k_aug, k_fit, bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, **mkw
             )
         elif method == "baseline":
             bp, bs = models["baseline"]
-            scores = linear_member_scores(bp, bs, episode, replicas, k_fit, bcfg=bcfg, spec=spec, tcfg=tcfg)
+            scores = linear_member_scores(
+                bp, bs, episode, bank, k_aug, k_fit, bcfg=bcfg, spec=spec, tcfg=tcfg, **mkw
+            )
         elif method == "protonet":
             gp, gs, _ = models["gnn"]
-            scores = proto_member_scores(gp, gs, episode, replicas, k_fit, bcfg=bcfg, spec=spec, tcfg=tcfg)
+            scores = proto_member_scores(
+                gp, gs, episode, bank, k_aug, k_fit, bcfg=bcfg, spec=spec, tcfg=tcfg, **mkw
+            )
         elif method.startswith("dampnet"):
             dp, ds_, dparams, dstate = models["dampnet"]
             scores = dampnet_member_scores(
-                dp, ds_, dparams, dstate, episode, k_fit, bcfg=bcfg, dcfg=dcfg, spec=spec
+                dp, ds_, dparams, dstate, episode, k_fit, bcfg=bcfg, dcfg=dcfg, spec=spec,
+                unsup_stats=models.get("unsup_stats"),
             )
         else:
             raise ValueError(f"unknown eval method {method!r}")

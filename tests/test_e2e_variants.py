@@ -75,3 +75,13 @@ def test_dampnet_train_and_eval(save_dir, capsys):
                       "--gen_examples", "1", "--fine_tune_epoch", "1"])
     out = capsys.readouterr().out
     assert "Test Acc" in out
+
+    # --unsupervised wires the unsup recovery path (reference
+    # set_forward_unsup, dampnet_full.py:298-348): recovery conditioned on an
+    # external unlabeled dataset's feature statistics
+    ft.main(COMMON + ["--method", "dampnet_full_class", "--test_dataset", "synthetic", "--n_shot", "2",
+                      "--unsupervised", "synthetic",
+                      "--save_iter", "1", "--iter_num", "2", "--eval_batch", "2",
+                      "--gen_examples", "1", "--fine_tune_epoch", "1"])
+    out = capsys.readouterr().out
+    assert "unsup recovery stats" in out and "Test Acc" in out
