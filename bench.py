@@ -54,7 +54,7 @@ def main():
     gen_examples = 17
     eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "8"))
     n_measure = int(os.environ.get("BENCH_EPISODES", "32"))
-    n_serial = int(os.environ.get("BENCH_SERIAL_EPISODES", "3"))
+    n_serial = int(os.environ.get("BENCH_SERIAL_EPISODES", "20"))
 
     kb, kh = jax.random.split(jax.random.PRNGKey(0))
     feature, stats = jax.jit(lambda k: bb.init_backbone(k, bcfg))(kb)
@@ -66,7 +66,11 @@ def main():
     base_size = 256
 
     # ---- fast path: episode-batched, trunk-precompute -----------------
-    tcfg = ee.TransferCfg(fine_tune_epochs=5, linear_epochs=20, bn_mode="episode")
+    tcfg = ee.TransferCfg(
+        fine_tune_epochs=5, linear_epochs=20, bn_mode="episode",
+        inner_param_dtype=os.environ.get("BENCH_INNER_PARAM_DTYPE", "float32"),
+        inner_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+    )
     program = ee.make_eval_program(
         method="all", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples
     )
@@ -124,9 +128,9 @@ def main():
     for i in range(n_serial):
         key, k = jax.random.split(key)
         _ = np.asarray(program_ref(models, one, jax.random.split(k, 1))[1])
-    t_serial = (time.perf_counter() - t0) / n_serial
-    eps_serial = 1.0 / t_serial
-    log(f"serial reference-equivalent: {eps_serial:.3f} eps/sec")
+    t_serial = (time.perf_counter() - t0) / max(n_serial, 1)
+    eps_serial = 1.0 / t_serial if n_serial else float("nan")
+    log(f"serial reference-equivalent: {eps_serial:.3f} eps/sec over {n_serial} episodes")
 
     print(
         json.dumps(

@@ -129,15 +129,17 @@ def cifar100(root: str, split: str = "base") -> Manifest:
     return Manifest(list(images[keep]), labels, len(groups))
 
 
-def synthetic(n_classes: int = 10, per_class: int = 48, base_size: int = 64, seed: int = 0) -> Manifest:
+def synthetic(n_classes: int = 10, per_class: int = 48, base_size: int = 64, seed: int = 0, tint: float = 0.55) -> Manifest:
     """In-memory synthetic dataset (class-tinted noise) for tests/benchmarks.
-    Deterministic per (seed, class, index)."""
+    Deterministic per (seed, class, index).  ``tint`` sets class
+    separability: 0.55 is near-trivially separable; ~0.2 calibrates eval
+    accuracy to a non-vacuous ~80-95% so accuracy regressions are visible."""
     rs = np.random.RandomState(seed)
     tints = rs.rand(n_classes, 1, 1, 3).astype(np.float32)
     items, labels = [], []
     for c in range(n_classes):
         noise = rs.rand(per_class, base_size, base_size, 3).astype(np.float32)
-        imgs = np.clip(0.55 * tints[c] + 0.45 * noise, 0.0, 1.0)
+        imgs = np.clip(tint * tints[c] + (1.0 - tint) * noise, 0.0, 1.0)
         items.extend(list(imgs))
         labels.extend([c] * per_class)
     return Manifest(items, np.asarray(labels, np.int64), n_classes)

@@ -34,6 +34,11 @@ class InnerLoopCfg(NamedTuple):
     epochs: int
     batch_size: int
     bank_size: int
+    #: lax.scan unroll factor: >1 lets XLA software-pipeline consecutive
+    #: optimizer steps (the scans are HBM-bound on parameter traffic;
+    #: unrolling overlaps the next step's weight loads with the current
+    #: step's update math).  Must divide into n_steps cleanly or 1 is used.
+    unroll: int = 1
 
     @property
     def steps_per_epoch(self) -> int:
@@ -97,7 +102,8 @@ def inner_fit(
         updates, s = tx.update(grads, s, p)
         return (optax.apply_updates(p, updates), s), None
 
-    (params, _), _ = jax.lax.scan(step, (params, opt_state), (idx_all, w_all))
+    unroll = cfg.unroll if cfg.unroll > 1 and cfg.n_steps % cfg.unroll == 0 else 1
+    (params, _), _ = jax.lax.scan(step, (params, opt_state), (idx_all, w_all), unroll=unroll)
     return params
 
 

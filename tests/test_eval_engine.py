@@ -10,6 +10,7 @@ import pytest
 from mft_tpu.core.episode import EpisodeSpec
 from mft_tpu.methods import gnnnet as gn
 from mft_tpu.models import backbone as bb
+from mft_tpu.ops.augment import AugmentCfg
 from mft_tpu.train import eval_engine as ee
 
 SPEC = EpisodeSpec(n_way=3, n_support=2, n_query=3)
@@ -17,7 +18,9 @@ BCFG = bb.resnet10()
 GCFG = gn.GnnNetCfg(feat_dim=512, n_way=3, n_support=2)
 TCFG = ee.TransferCfg(fine_tune_epochs=2, linear_epochs=2)
 IMG = 32
+ACFG = AugmentCfg(image_size=IMG)
 R = 3  # replicas: clean x3 (gen_examples=0 analogue)
+MKW = dict(aug_cfg=ACFG, gen_examples=0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -31,32 +34,44 @@ def _setup():
     episode = rs.rand(SPEC.n_way, SPEC.n_per_class, IMG, IMG, 3).astype(np.float32) * 0.1
     for c in range(SPEC.n_way):
         episode[c, :, :, :, c] += 1.0
+    episode = np.clip(episode, 0.0, 1.0)
     support = episode[:, : SPEC.n_support]
-    replicas = np.stack([support] * R)  # clean replicas (no augmentation here)
-    return params, stats, head, jnp.asarray(episode), jnp.asarray(replicas)
+    replicas = np.stack([support] * R)  # materialized clean bank (minibatch path)
+    return params, stats, head, jnp.asarray(episode), jnp.asarray(support), jnp.asarray(replicas)
+
+
+def _bank(bn_mode, support, replicas):
+    """Fast (episode) mode takes the raw support; the faithful minibatch
+    mode takes materialized replicas."""
+    return support if bn_mode == "episode" else replicas
 
 
 @pytest.mark.parametrize("bn_mode", ["episode", "minibatch"])
 def test_gnn_member_scores_shape_and_softmax(bn_mode):
-    params, stats, head, episode, replicas = _setup()
+    params, stats, head, episode, support, replicas = _setup()
     tcfg = TCFG._replace(bn_mode=bn_mode)
+    bank = _bank(bn_mode, support, replicas)
     fn = jax.jit(
-        lambda p, s, h, e, r, k: ee.gnn_member_scores(
-            p, s, h, e, r, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=tcfg
+        lambda p, s, h, e, r, ka, k: ee.gnn_member_scores(
+            p, s, h, e, r, ka, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=tcfg, **MKW
         )
     )
-    scores = fn(params, stats, head, episode, replicas, jax.random.PRNGKey(1))
+    scores = fn(params, stats, head, episode, bank, jax.random.PRNGKey(0), jax.random.PRNGKey(1))
     assert scores.shape == (SPEC.query_size, SPEC.n_way)
     np.testing.assert_allclose(np.asarray(scores).sum(1), 1.0, atol=1e-5)
 
 
-def test_linear_member_learns_separable_classes():
-    params, stats, head, episode, replicas = _setup()
-    tcfg = TCFG._replace(linear_epochs=20)
+@pytest.mark.parametrize("bn_mode", ["episode", "minibatch"])
+def test_linear_member_learns_separable_classes(bn_mode):
+    params, stats, head, episode, support, replicas = _setup()
+    tcfg = TCFG._replace(linear_epochs=20, bn_mode=bn_mode)
+    bank = _bank(bn_mode, support, replicas)
     fn = jax.jit(
-        lambda p, s, e, r, k: ee.linear_member_scores(p, s, e, r, k, bcfg=BCFG, spec=SPEC, tcfg=tcfg)
+        lambda p, s, e, r, ka, k: ee.linear_member_scores(
+            p, s, e, r, ka, k, bcfg=BCFG, spec=SPEC, tcfg=tcfg, **MKW
+        )
     )
-    scores = fn(params, stats, episode, replicas, jax.random.PRNGKey(2))
+    scores = fn(params, stats, episode, bank, jax.random.PRNGKey(0), jax.random.PRNGKey(2))
     acc = ee.episode_accuracy(scores, SPEC)
     assert scores.shape == (SPEC.query_size, SPEC.n_way)
     # color-separable classes: the probe should beat chance (33%) comfortably
@@ -64,52 +79,70 @@ def test_linear_member_learns_separable_classes():
 
 
 def test_ensemble_sums_two_softmaxes():
-    params, stats, head, episode, replicas = _setup()
+    params, stats, head, episode, support, replicas = _setup()
     fn = jax.jit(
-        lambda p, s, h, e, r, k: ee.ensemble_episode_scores(
-            p, s, p, s, h, e, r, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG
+        lambda p, s, h, e, r, ka, k: ee.ensemble_episode_scores(
+            p, s, p, s, h, e, r, ka, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG, **MKW
         )
     )
-    scores = fn(params, stats, head, episode, replicas, jax.random.PRNGKey(3))
+    scores = fn(params, stats, head, episode, support, jax.random.PRNGKey(0), jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(scores).sum(1), 2.0, atol=1e-5)
 
 
 def test_episode_scores_deterministic_and_vmappable():
-    params, stats, head, episode, replicas = _setup()
+    params, stats, head, episode, support, replicas = _setup()
     fn = jax.jit(
-        lambda p, s, h, e, r, k: ee.gnn_member_scores(
-            p, s, h, e, r, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG
+        lambda p, s, h, e, r, ka, k: ee.gnn_member_scores(
+            p, s, h, e, r, ka, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG, **MKW
         )
     )
-    a = fn(params, stats, head, episode, replicas, jax.random.PRNGKey(7))
-    b = fn(params, stats, head, episode, replicas, jax.random.PRNGKey(7))
+    ka = jax.random.PRNGKey(6)
+    a = fn(params, stats, head, episode, support, ka, jax.random.PRNGKey(7))
+    b = fn(params, stats, head, episode, support, ka, jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # vmap across an episode batch — the >=20x lever
     eps = jnp.stack([episode, episode])
-    reps = jnp.stack([replicas, replicas])
+    sups = jnp.stack([support, support])
     keys = jnp.stack([jax.random.PRNGKey(8), jax.random.PRNGKey(8)])  # same key -> same scores
     vfn = jax.jit(
         jax.vmap(
             lambda e, r, k: ee.gnn_member_scores(
-                params, stats, head, e, r, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG
+                params, stats, head, e, r, k, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=TCFG, **MKW
             )
         )
     )
-    out = vfn(eps, reps, keys)
+    out = vfn(eps, sups, keys)
     assert out.shape == (2, SPEC.query_size, SPEC.n_way)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-5)
+
+
+def test_inner_param_dtype_bf16_agrees_with_f32():
+    """bf16-carried inner-loop parameters (the HBM-traffic lever) must agree
+    with the f32 carry on prediction argmax for separable classes."""
+    params, stats, head, episode, support, replicas = _setup()
+    outs = {}
+    for pd in ("float32", "bfloat16"):
+        tcfg = TCFG._replace(linear_epochs=20, inner_param_dtype=pd)
+        fn = jax.jit(
+            lambda p, s, e, r, ka, k: ee.linear_member_scores(
+                p, s, e, r, ka, k, bcfg=BCFG, spec=SPEC, tcfg=tcfg, **MKW
+            )
+        )
+        outs[pd] = np.asarray(fn(params, stats, episode, support, jax.random.PRNGKey(0), jax.random.PRNGKey(2)))
+    np.testing.assert_array_equal(outs["float32"].argmax(1), outs["bfloat16"].argmax(1))
+    np.testing.assert_allclose(outs["float32"], outs["bfloat16"], atol=0.15)
 
 
 def test_freeze_backbone_paths():
     """--freeze_backbone: no adaptation in the GNN member (scores are
     key-independent), head-only training + eval-mode BN in the linear member
     (reference finetune.py:123-135,263-266)."""
-    params, stats, head, episode, replicas = _setup()
+    params, stats, head, episode, support, replicas = _setup()
     tcfg = TCFG._replace(freeze_backbone=True)
     g = jax.jit(
         lambda k: ee.gnn_member_scores(
-            params, stats, head, episode, replicas, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=tcfg
+            params, stats, head, episode, support, k, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=tcfg, **MKW
         )
     )
     a = g(jax.random.PRNGKey(1))
@@ -117,11 +150,47 @@ def test_freeze_backbone_paths():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
     lin = jax.jit(
-        lambda k: ee.linear_member_scores(params, stats, episode, replicas, k, bcfg=BCFG, spec=SPEC, tcfg=tcfg)
+        lambda k: ee.linear_member_scores(
+            params, stats, episode, support, k, k, bcfg=BCFG, spec=SPEC, tcfg=tcfg, **MKW
+        )
     )
     s = lin(jax.random.PRNGKey(3))
     assert s.shape == (SPEC.query_size, SPEC.n_way)
     np.testing.assert_allclose(np.asarray(s).sum(1), 1.0, atol=1e-5)
+
+
+def test_bn_mode_agreement_bound():
+    """Regression bound on the episode-vs-minibatch BN divergence: on
+    color-separable episodes the two modes must agree in mean accuracy and
+    predictions (the full-scale study lives in tools/bn_divergence_study.py;
+    numbers in docs/PERF.md)."""
+    params, stats, head, episode, support, replicas = _setup()
+    rs = np.random.RandomState(7)
+    eps = []
+    for i in range(6):
+        e = rs.rand(SPEC.n_way, SPEC.n_per_class, IMG, IMG, 3).astype(np.float32) * 0.2
+        for c in range(SPEC.n_way):
+            e[c, :, :, :, c] += 0.8
+        eps.append(np.clip(e, 0.0, 1.0))
+    eps = jnp.asarray(np.stack(eps))
+    keys = jax.random.split(jax.random.PRNGKey(11), eps.shape[0])
+
+    out = {}
+    for mode in ("episode", "minibatch"):
+        tcfg = TCFG._replace(linear_epochs=20, bn_mode=mode)
+        prog = ee.make_eval_program(
+            method="baseline", bcfg=BCFG, gcfg=None, spec=SPEC, tcfg=tcfg, aug_cfg=ACFG, gen_examples=2
+        )
+        scores, acc = prog({"baseline": (params, stats)}, eps, keys)
+        out[mode] = (np.asarray(scores), np.asarray(acc))
+    acc_e, acc_m = out["episode"][1].mean(), out["minibatch"][1].mean()
+    assert acc_e > 60.0 and acc_m > 60.0
+    assert abs(acc_e - acc_m) <= 15.0
+    agree = np.mean(
+        out["episode"][0].reshape(-1, SPEC.n_way).argmax(1)
+        == out["minibatch"][0].reshape(-1, SPEC.n_way).argmax(1)
+    )
+    assert agree >= 0.75
 
 
 def test_accuracy_and_ci_helpers():
