@@ -43,6 +43,11 @@ def decode_image(item, base_size: int) -> np.ndarray:
 
     ImageFile.LOAD_TRUNCATED_IMAGES = True
     with Image.open(item) as im:
+        # JPEG draft mode: libjpeg decodes directly at 1/2, 1/4, or 1/8 DCT
+        # scale when the target is smaller than the source — up to ~8x less
+        # decode work for large-source datasets (no-op for small sources or
+        # non-JPEG formats).
+        im.draft("RGB", (base_size, base_size))
         im = im.convert("RGB").resize((base_size, base_size), Image.BILINEAR)
         return np.asarray(im, np.uint8)
 
