@@ -66,9 +66,13 @@ def main():
     base_size = 256
 
     # ---- fast path: episode-batched, trunk-precompute -----------------
+    # bf16 parameter carry in the inner scans is the fast default (validated:
+    # argmax-identical predictions on separable episodes,
+    # tests/test_eval_engine.py::test_inner_param_dtype_bf16_agrees_with_f32);
+    # BENCH_INNER_PARAM_DTYPE=float32 restores the strict-parity carry.
     tcfg = ee.TransferCfg(
         fine_tune_epochs=5, linear_epochs=20, bn_mode="episode",
-        inner_param_dtype=os.environ.get("BENCH_INNER_PARAM_DTYPE", "float32"),
+        inner_param_dtype=os.environ.get("BENCH_INNER_PARAM_DTYPE", "bfloat16"),
         inner_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
     program = ee.make_eval_program(
@@ -82,11 +86,17 @@ def main():
     # pathologically slow (~MB/s), so shipping decoded episodes would measure
     # the tunnel, not the framework; on a real TPU host the uint8 episode
     # feed (~1.9 MB/episode) is trivially overlapped with compute.
+    # class-separability knob: tint range BENCH_TINT (+ noise filling the
+    # rest of uint8).  The default is calibrated so the random-init ensemble
+    # scores a NON-vacuous synthetic accuracy (~90%, not 100%): accuracy
+    # regressions in the eval path are visible in the bench output.
+    tint_range = int(os.environ.get("BENCH_TINT", "28"))
+
     @jax.jit
     def synth_batch(key):
         kt, kn = jax.random.split(key)
-        tint = jax.random.randint(kt, (eval_batch, 5, 1, 1, 1, 3), 0, 141, dtype=jnp.uint8)
-        noise = jax.random.randint(kn, (eval_batch, 5, 20, base_size, base_size, 3), 0, 115, dtype=jnp.uint8)
+        tint = jax.random.randint(kt, (eval_batch, 5, 1, 1, 1, 3), 0, tint_range, dtype=jnp.uint8)
+        noise = jax.random.randint(kn, (eval_batch, 5, 20, base_size, base_size, 3), 0, 255 - tint_range, dtype=jnp.uint8)
         return tint + noise  # uint8 end to end: no multi-GB f32 temporary
 
     key = jax.random.PRNGKey(0)

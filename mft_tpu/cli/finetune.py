@@ -155,7 +155,8 @@ def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
     """Run the episode loop; returns (acc_mean, ci95, acc_all, eps_per_sec)."""
     aug_cfg = entry.eval_aug._replace(image_size=a.image_size)
     tcfg = ee.TransferCfg(
-        fine_tune_epochs=a.fine_tune_epoch, bn_mode=a.bn_mode, freeze_backbone=a.freeze_backbone
+        fine_tune_epochs=a.fine_tune_epoch, bn_mode=a.bn_mode, freeze_backbone=a.freeze_backbone,
+        inner_param_dtype=a.inner_param_dtype,
     )
     dcfg = models.pop("_dcfg", None)
     program = ee.make_eval_program(

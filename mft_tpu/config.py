@@ -96,6 +96,8 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--eval_batch", default=4, type=int, help="episodes fine-tuned concurrently at eval")
     parser.add_argument("--bn_mode", default="episode", choices=["episode", "minibatch"])
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--inner_param_dtype", default="float32", choices=["float32", "bfloat16"],
+                        help="carry dtype of the eval inner-scan parameters (bfloat16 = fast path)")
     parser.add_argument("--seed", default=10, type=int, help="reference seed discipline (train.py:69)")
     parser.add_argument("--paths_json", default=None)
     parser.add_argument("--trace_dir", default=None, help="jax.profiler trace output dir")

@@ -56,10 +56,13 @@ class TransferCfg(NamedTuple):
     head_wd: float = 0.001  # classifier Adam weight decay (finetune.py:109,240)
     bn_mode: str = "episode"  # 'episode' (fast) | 'minibatch' (faithful)
     freeze_backbone: bool = False  # --freeze_backbone
-    #: Adam moment-state dtype inside the inner scans. bfloat16 (both
-    #: moments stored bf16, per-step math f32) cuts optimizer HBM traffic
-    #: ~2x (122 -> 93 ms/ep on v5e) with bitwise-identical predictions on
-    #: the validation episodes; 'float32' = strict torch-Adam state parity.
+    #: Adam moment-state dtype inside the inner scans: 'float32' (strict
+    #: torch-Adam state parity) | 'bfloat16' (both moments stored bf16,
+    #: per-step math f32 — cuts optimizer HBM traffic ~2x, 122 -> 93 ms/ep
+    #: on v5e, bitwise-identical predictions on validation episodes).
+    #: fp8 moments were measured and REJECTED: accuracy collapses
+    #: (92.5% -> 40%) and the conversions cost more than the traffic saved
+    #: (docs/PERF.md).
     opt_state_dtype: str = "bfloat16"
     #: dtype the adapted block's parameters are *carried* in across inner
     #: scan steps.  The scans are HBM-bound on per-lane parameter + optimizer

@@ -134,6 +134,31 @@ def test_inner_param_dtype_bf16_agrees_with_f32():
     np.testing.assert_allclose(outs["float32"], outs["bfloat16"], atol=0.15)
 
 
+def test_adam_lowmem_fp8_state_tracks_bf16_briefly():
+    """torch_adam_lowmem's narrow-state generality: fp8-e4m3 moments (with
+    the nu pre-scale) track the bf16 state over a few steps.  NOTE: fp8
+    state was measured and rejected for the 500-step eval scans — accuracy
+    collapses at that length (docs/PERF.md); this only pins the optimizer
+    math."""
+    import optax
+
+    from mft_tpu.train import optimizers as opt
+
+    p0 = jnp.asarray(np.linspace(-0.5, 0.5, 16), jnp.float32)
+    grads = jnp.asarray(np.random.RandomState(0).randn(5, 16) * 0.1, jnp.float32)
+    outs = {}
+    for sd in (jnp.bfloat16, jnp.float8_e4m3fn):
+        tx = opt.torch_adam_lowmem(0.01, state_dtype=sd)
+        p, s = p0, tx.init(p0)
+        for i in range(5):
+            up, s = tx.update(grads[i], s, p)
+            p = optax.apply_updates(p, up)
+        outs[sd] = np.asarray(p)
+    # fp8's ~6% state error shows up as ~1e-2 param drift within 5 steps of
+    # lr=0.01 — exactly why it fails at 500 steps; this only bounds the drift
+    np.testing.assert_allclose(outs[jnp.bfloat16], outs[jnp.float8_e4m3fn], atol=2e-2)
+
+
 def test_freeze_backbone_paths():
     """--freeze_backbone: no adaptation in the GNN member (scores are
     key-independent), head-only training + eval-mode BN in the linear member
