@@ -139,6 +139,72 @@ def test_gnn_nl_full(g):
     np.testing.assert_allclose(np.asarray(y), g["gnn_nl.y"], rtol=1e-4, atol=1e-5)
 
 
+def test_gnnnet_set_forward_full(g):
+    """The complete GnnNet episodic head vs the reference's own
+    set_forward(x, is_feature=True) (methods/gnnnet.py:47-68): fc projector,
+    per-query graph build, support-label one-hot plumbing, GNN_nl, and the
+    class-major query-slot score ordering — one end-to-end artifact."""
+    from mft_tpu.methods import gnnnet as gn
+
+    head = {
+        "fc": {
+            "w": jnp.asarray(g["gnnnet.fc.0.weight"].T),
+            "b": jnp.asarray(g["gnnnet.fc.0.bias"]),
+        },
+        "bn": {"scale": jnp.asarray(g["gnnnet.fc.1.weight"]), "bias": jnp.asarray(g["gnnnet.fc.1.bias"])},
+    }
+    gnn_p = {
+        "layers": [
+            {"w": _wcompute_tree(g, f"gnnnet.gnn.layer_w{i}"), "l": _gconv_tree(g, f"gnnnet.gnn.layer_l{i}")}
+            for i in range(2)
+        ],
+        "w_last": _wcompute_tree(g, "gnnnet.gnn.w_comp_last"),
+        "l_last": _gconv_tree(g, "gnnnet.gnn.layer_last", bn=False),
+    }
+    full_head = {"fc": {"linear": head["fc"], "bn": head["bn"]}, "gnn": gnn_p}
+    cfg = gn.GnnNetCfg(feat_dim=16, n_way=3, n_support=2)
+    scores = gn.gnn_scores(full_head, jnp.asarray(g["gnnnet.feats"]), cfg, n_query=15)
+    np.testing.assert_allclose(np.asarray(scores), g["gnnnet.scores"], rtol=1e-3, atol=1e-4)
+
+
+def test_dampnet_domain_shift_full(g):
+    """The complete DampNet eval path vs the reference's own
+    set_forward(x, is_feature=True, domain_shift=True)
+    (dampnet_full_class.py:262-352): class statistics, both NTN comparison
+    modules, the mult/add recovery MLPs, recovered-feature projection and
+    GNN scoring."""
+    from mft_tpu.methods import dampnet as dn
+
+    params = {
+        "fc": {
+            "linear": lin_mat(g["dampnet.fc.0.weight"], g["dampnet.fc.0.bias"]),
+            "bn": {"scale": jnp.asarray(g["dampnet.fc.1.weight"]), "bias": jnp.asarray(g["dampnet.fc.1.bias"])},
+        },
+        "gnn": {
+            "layers": [
+                {"w": _wcompute_tree(g, f"dampnet.gnn.layer_w{i}"), "l": _gconv_tree(g, f"dampnet.gnn.layer_l{i}")}
+                for i in range(2)
+            ],
+            "w_last": _wcompute_tree(g, "dampnet.gnn.w_comp_last"),
+            "l_last": _gconv_tree(g, "dampnet.gnn.layer_last", bn=False),
+        },
+        "W_R": jnp.asarray(g["dampnet.W_R.weight"]),
+        "V_R": lin_mat(g["dampnet.V_R.weight"], g["dampnet.V_R.bias"]),
+        "W_R_std": jnp.asarray(g["dampnet.W_R_std.weight"]),
+        "V_R_std": lin_mat(g["dampnet.V_R_std.weight"], g["dampnet.V_R_std.bias"]),
+    }
+    for name in ("layer1", "layer2", "layer3", "layer1_add", "layer2_add", "layer3_add"):
+        params[name] = lin_mat(g[f"dampnet.{name}.weight"], g[f"dampnet.{name}.bias"])
+    state = {
+        "proto_mean": jnp.asarray(g["dampnet.proto_mean"]),
+        "proto_std": jnp.asarray(g["dampnet.proto_std"]),
+        "initialized": jnp.ones((), jnp.bool_),
+    }
+    cfg = dn.DampNetCfg(feat_dim=16, n_way=3, n_support=2, stat="class")
+    scores = dn.dampnet_scores(params, state, jnp.asarray(g["dampnet.feats"]), cfg, 15, mode="domain_shift")
+    np.testing.assert_allclose(np.asarray(scores), g["dampnet.scores"], rtol=1e-3, atol=1e-4)
+
+
 # --------------------------------------------------------------------------
 # Optimizer recursions (finetune.py:109,240; meta_template.py:166)
 # --------------------------------------------------------------------------

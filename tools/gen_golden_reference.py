@@ -109,6 +109,70 @@ def gen_gnn_pieces():
         OUT["gnn_nl.y"] = m(nodes).numpy()  # [2, 6, 3]
 
 
+def gen_gnnnet_set_forward():
+    """The FULL GnnNet episodic forward from features
+    (methods/gnnnet.py:47-68 ``set_forward(x, is_feature=True)``): fc
+    projector + per-query graph build + support-label one-hot plumbing +
+    GNN_nl + query-slot extraction/ordering — the complete head in one
+    artifact."""
+    import gnnnet as ref_gnnnet
+
+    # neutralize .cuda() calls (meta_template/gnnnet assume a GPU)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    class StubBackbone(nn.Module):
+        final_feat_dim = 16
+
+        def forward(self, x):  # unused on the is_feature path
+            raise AssertionError("is_feature=True must not call the backbone")
+
+    gen = torch.Generator().manual_seed(4)
+    m = ref_gnnnet.GnnNet(StubBackbone, n_way=3, n_support=2)
+    randomize_bn(m, gen)
+    m.train()
+    m.n_query = 15  # the eval drivers set this before scoring (finetune.py:312)
+    feats = torch.randn(3, 2 + 15, 16, generator=gen)
+    OUT["gnnnet.feats"] = feats.numpy()
+    put("gnnnet", m)
+    with torch.no_grad():
+        OUT["gnnnet.scores"] = m.set_forward(feats, is_feature=True).numpy()  # [45, 3]
+
+
+def gen_dampnet_domain_shift():
+    """The full DampNet eval path from features
+    (dampnet_full_class.py:262-352 ``set_forward(x, is_feature=True,
+    domain_shift=True)``): class-statistic computation, the two NTN
+    comparison modules, the mult/add recovery MLPs, recovered-feature
+    projection, graph build and GNN scoring."""
+    import dampnet_full_class as ref_damp
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    class StubBackbone(nn.Module):
+        final_feat_dim = 16
+
+        def forward(self, x):
+            raise AssertionError("is_feature=True must not call the backbone")
+
+    gen = torch.Generator().manual_seed(5)
+    m = ref_damp.DampNet(StubBackbone, n_way=3, n_support=2)
+    randomize_bn(m, gen)
+    m.train()
+    m.n_query = 15
+    m.final_meta_prototype = torch.randn(16, generator=gen)
+    m.final_meta_prototype_std = torch.randn(16, generator=gen).abs() + 0.5
+    m.final_meta_prototypes_initialized = True
+    feats = torch.randn(3, 2 + 15, 16, generator=gen)
+    OUT["dampnet.feats"] = feats.numpy()
+    OUT["dampnet.proto_mean"] = m.final_meta_prototype.numpy()
+    OUT["dampnet.proto_std"] = m.final_meta_prototype_std.numpy()
+    put("dampnet", m)
+    with torch.no_grad():
+        OUT["dampnet.scores"] = m.set_forward(feats, is_feature=True, domain_shift=True).numpy()
+
+
 def gen_optimizers():
     """torch.optim.Adam(lr=0.01, weight_decay=0.001) — the eval fine-tune
     head optimizer (finetune.py:109,240) — and torch.optim.SGD(lr=0.01,
@@ -139,6 +203,8 @@ def gen_optimizers():
 def main():
     gen_simple_block()
     gen_gnn_pieces()
+    gen_gnnnet_set_forward()
+    gen_dampnet_domain_shift()
     gen_optimizers()
     import os
 
