@@ -24,9 +24,16 @@ train/eval_engine.py):
 * torch Adam with bf16-stored moments and bf16-carried parameters
   (TransferCfg.opt_state_dtype / inner_param_dtype fast path).
 
-Layout notes: convs are expressed as im2col matmuls ([B*ho*wo, k*k*Cin] @
-[k*k*Cin, Cout]) so the MXU sees one large GEMM per conv; the [kh, kw, Cin,
-Cout] HWIO weights reshape to matrix form for free (row-major contiguous).
+Layout notes: convs are expressed as sums of 9 per-tap matmuls
+([B*ho*wo, C] @ [C, Cout] per kernel tap) because Mosaic lowers neither
+strided slices, gathers, nor lane-concats of offset slices; the
+[kh, kw, Cin, Cout] HWIO weights reshape to stacked-tap matrix form
+([kh*kw*Cin, Cout]) for free (row-major contiguous).
+
+Measured verdict (docs/PERF.md): the kernel is numerically correct but
+LOSES to the lane-batched XLA scan on the v5e — the sequential lane grid
+cannot feed the MXU at minibatch-5 shapes — so it is not wired into the
+eval engine; it stands as a tested experiment and Mosaic playbook example.
 """
 
 from __future__ import annotations
@@ -127,7 +134,6 @@ def _conv3x3_dw(pieces, dy: jnp.ndarray, c: int):
 def _conv3x3_dx_s1(dy: jnp.ndarray, wmat: jnp.ndarray, b: int, h: int, c_in: int):
     """Input gradient of the stride-1 3x3 conv: per-tap dy @ W_k^T scattered
     back by static pad-shift adds.  dy: [B*h*h, Co] -> [B, H, H, C_in]."""
-    co = dy.shape[-1]
     out = jnp.zeros((b, h + 2, h + 2, c_in), jnp.float32)
     k = 0
     for ky in range(3):

@@ -118,10 +118,21 @@ def _bank_fmap(
 
     support = to_float(support_base)
     n = support.shape[0] * support.shape[1]
+    # bound peak trunk activation memory: sub-chunk large replica groups
+    # (50-shot groups are 250 images; the stem output alone would be ~GBs)
+    chunk = n
+    for cand in range(min(n, 128), 0, -1):
+        if n % cand == 0:
+            chunk = cand
+            break
 
     def trunk_of(imgs):
         flat = imgs.reshape((n,) + imgs.shape[2:])
-        return bb.apply_trunk(trunk_p, trunk_s, flat, cfg=bcfg, train=bn_train)
+        if chunk == n:
+            return bb.apply_trunk(trunk_p, trunk_s, flat, cfg=bcfg, train=bn_train)
+        sub = flat.reshape((n // chunk, chunk) + flat.shape[1:])
+        out = jax.lax.map(lambda xc: bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=bn_train), sub)
+        return out.reshape((n,) + out.shape[2:])
 
     clean = trunk_of(center_batch(support, aug_cfg.image_size))
     if clean_only:
