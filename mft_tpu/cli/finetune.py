@@ -33,11 +33,9 @@ from mft_tpu.core.episode import EpisodeSpec
 from mft_tpu.data import registry
 from mft_tpu.data.pipeline import EpisodeStream
 from mft_tpu.methods import gnnnet as gn
-from mft_tpu.methods.baseline import init_classifier
 from mft_tpu.models import backbone as bb
 from mft_tpu.parallel import mesh as pmesh
 from mft_tpu.train import eval_engine as ee
-from mft_tpu.train import optimizers as opt
 from mft_tpu.utils import checkpoint as ckpt
 from mft_tpu.utils.metrics import MetricLogger
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mft_tpu import config as cfg_mod
-from mft_tpu.core.episode import EpisodeSpec, query_labels, support_labels
+from mft_tpu.core.episode import EpisodeSpec, support_labels
 from mft_tpu.data.feature_store import load_features, sample_feature_episode
 from mft_tpu.methods.baseline import ce_loss, classifier_logits, init_classifier
 from mft_tpu.methods.protonet import proto_scores

@@ -11,7 +11,7 @@ all_labels [N], count}`` loaded into a per-class feature dict
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

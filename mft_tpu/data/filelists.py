@@ -26,7 +26,7 @@ from __future__ import annotations
 import csv
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from mft_tpu.data.manifests import IMG_EXTS
 

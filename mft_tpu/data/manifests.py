@@ -25,7 +25,7 @@ import json
 import os
 import pickle
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

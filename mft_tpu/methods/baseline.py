@@ -12,7 +12,6 @@ jitted ``lax.scan``; this module only defines parameters and objectives.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -47,10 +47,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from mft_tpu.core.episode import EpisodeSpec, query_labels, support_onehot_with_query_slot
+from mft_tpu.core.episode import EpisodeSpec, query_labels
 from mft_tpu.methods.gnnnet import GnnNetCfg, gnn_scores
 from mft_tpu.ops.convpool import linear
-from mft_tpu.ops.initializers import bn_params, torch_linear
+from mft_tpu.ops.initializers import torch_linear
 from mft_tpu.ops.norm import batch_norm
 
 

@@ -19,7 +19,7 @@ program (as in the reference) so the edge convs batch onto the MXU.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

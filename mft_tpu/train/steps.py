@@ -24,12 +24,11 @@ import functools
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
-from mft_tpu.core.episode import EpisodeSpec, flatten_episode, support_labels
+from mft_tpu.core.episode import flatten_episode, support_labels
 from mft_tpu.methods.baseline import ce_loss, classifier_logits, top1_accuracy
-from mft_tpu.methods.gnnnet import GnnNetCfg, gnn_scores, gnnnet_loss
+from mft_tpu.methods.gnnnet import gnn_scores, gnnnet_loss
 from mft_tpu.methods.protonet import proto_scores, protonet_loss
 from mft_tpu.models import backbone as bb
 from mft_tpu.train import optimizers as opt

@@ -3,7 +3,6 @@ on the synthetic dataset with tiny shapes (the minimum slice of SURVEY.md §7)."
 
 import os
 
-import numpy as np
 import pytest
 
 

@@ -3,7 +3,6 @@
 
 import os
 
-import numpy as np
 import pytest
 
 COMMON = [
@@ -46,7 +45,6 @@ def test_ensemble_method_all(save_dir, capsys):
 
 def test_train50_and_finetune50_wrappers(save_dir, capsys):
     """50-shot wrappers select the compressed GNN (eff_support halved)."""
-    from mft_tpu.cli import finetune_50 as ft50
     from mft_tpu.cli import train_50 as tr50
 
     args = COMMON + ["--method", "gnnnet", "--n_shot", "4", "--stop_epoch", "0",

@@ -1,12 +1,10 @@
 """save_features / feature-based test workflow (the upstream cdfsl-benchmark
 stage reconstructed from the reference's vestigial feature loader)."""
 
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mft_tpu.core.episode import EpisodeSpec
 from mft_tpu.data.feature_store import load_features, sample_feature_episode, save_features

@@ -19,7 +19,7 @@ import numpy as np
 from mft_tpu.models import backbone as bb
 from mft_tpu.ops.pallas import fused_inner_scan as fis
 from mft_tpu.train import optimizers as opt
-from mft_tpu.train.inner_loop import InnerLoopCfg, inner_fit, minibatch_schedule
+from mft_tpu.train.inner_loop import InnerLoopCfg, minibatch_schedule
 
 GEOM = fis.BlockGeom(h_in=8, c_in=16, c_out=32, stride=2, batch=4)
 # a 2-stage cfg whose final block matches GEOM (stage 1, j=0 -> half_res)
