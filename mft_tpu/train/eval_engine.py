@@ -369,6 +369,13 @@ def proto_member_scores(
     distances on the adapted features."""
     from mft_tpu.methods.protonet import proto_scores
 
+    if tcfg.freeze_backbone:
+        # frozen backbone: the inner loop trains nothing the prototype
+        # scoring uses — same no-op shortcut as the GNN member
+        # (finetune.py:242-266)
+        feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec, train=False)
+        scores = proto_scores(feats[:, : spec.n_support], feats[:, spec.n_support :], spec)
+        return jax.nn.softmax(scores, axis=1)
     fmap_bank, bank_x, n_rep = _member_bank(
         backbone_params, backbone_stats, support_bank, k_aug,
         bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,

@@ -59,6 +59,28 @@ def test_train50_and_finetune50_wrappers(save_dir, capsys):
     assert GnnNetCfg(n_support=50, support_compress=2).eff_support == 25
 
 
+def test_protonet_freeze_and_minibatch_eval(save_dir, capsys):
+    """The remaining eval-driver surfaces: the ProtoNet head
+    (finetune.py:441-442,619), --freeze_backbone (finetune.py:123-135), and
+    the bit-faithful --bn_mode minibatch path, all through the CLIs."""
+    from mft_tpu.cli import finetune as ft
+    from mft_tpu.cli import train as tr
+
+    tr.main(COMMON + ["--method", "protonet", "--n_shot", "2", "--stop_epoch", "0",
+                      "--save_freq", "1", "--episodes_per_epoch", "1"])
+    base = COMMON + ["--method", "protonet", "--test_dataset", "synthetic", "--n_shot", "2",
+                     "--save_iter", "0", "--iter_num", "2", "--eval_batch", "2",
+                     "--gen_examples", "1", "--fine_tune_epoch", "1"]
+    ft.main(base)
+    assert "Test Acc" in capsys.readouterr().out
+
+    ft.main(base + ["--freeze_backbone"])
+    assert "Test Acc" in capsys.readouterr().out
+
+    ft.main(base + ["--bn_mode", "minibatch"])
+    assert "Test Acc" in capsys.readouterr().out
+
+
 def test_dampnet_train_and_eval(save_dir, capsys):
     from mft_tpu.cli import finetune as ft
     from mft_tpu.cli import train as tr
