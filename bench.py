@@ -74,6 +74,7 @@ def main():
         fine_tune_epochs=5, linear_epochs=20, bn_mode="episode",
         inner_param_dtype=os.environ.get("BENCH_INNER_PARAM_DTYPE", "bfloat16"),
         inner_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        inner_gather=os.environ.get("BENCH_INNER_GATHER", "step"),
     )
     program = ee.make_eval_program(
         method="all", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples

@@ -81,11 +81,12 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--test_n_way", default=5, type=int)
     parser.add_argument("--n_shot", default=5, type=int)
     parser.add_argument("--train_aug", action="store_true")
-    parser.add_argument("--both", action="store_true", help="use both tuned and untuned model")
     parser.add_argument("--freeze_backbone", action="store_true")
     parser.add_argument("--save_iter", default=-1, type=int)
-    parser.add_argument("--models_to_use", "--names-list", nargs="+", default=["miniImageNet", "caltech256", "DTD", "cifar100", "CUB"])
-    parser.add_argument("--fine_tune_all_models", action="store_true")
+    # NOTE: the reference's io_utils.py also declares --both, --models_to_use
+    # and --fine_tune_all_models, but nothing in its codebase reads them
+    # (upstream cdfsl-benchmark vestiges).  Dead flags are deliberately not
+    # reproduced (same policy as --unsup/--unsup_cluster below).
     parser.add_argument("--fine_tune_epoch", default=100, type=int)
     parser.add_argument("--gen_examples", default=10, type=int)
     # --- TPU-native extras (magic numbers surfaced as flags) ---

@@ -107,6 +107,57 @@ def inner_fit(
     return params
 
 
+def inner_fit_epochwise(
+    loss_fn: Callable,
+    params,
+    tx: optax.GradientTransformation,
+    key,
+    cfg: InnerLoopCfg,
+    banks,
+):
+    """:func:`inner_fit` with the gather hoisted out of the hot loop.
+
+    Numerically identical to ``inner_fit`` under the same ``key`` (same
+    per-epoch permutations, same rows per step): the bank is permuted ONCE
+    per epoch (one large gather) and each scan step slices a contiguous
+    minibatch — instead of a 5-row dynamic gather per step.  ``banks`` is a
+    pytree of arrays with leading dim ``bank_size``;
+    ``loss_fn(params, chunk, w) -> scalar`` receives the pre-gathered
+    minibatch slice.
+    """
+    if cfg.epochs == 0:
+        return params
+    keys = jax.random.split(key, cfg.epochs)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, cfg.bank_size))(keys)
+    pad = cfg.padded - cfg.bank_size
+    if pad:
+        perms = jnp.pad(perms, ((0, 0), (0, pad)))  # pad rows get weight 0
+    pos = jnp.arange(cfg.padded).reshape(cfg.steps_per_epoch, cfg.batch_size)
+    w_epoch = (pos < cfg.bank_size).astype(jnp.float32)  # [spe, bs]
+    starts = jnp.arange(cfg.steps_per_epoch) * cfg.batch_size
+    opt_state = tx.init(params)
+    grad_fn = jax.grad(loss_fn)
+    bs = cfg.batch_size
+
+    def epoch(carry, perm):
+        p, s = carry
+        bank_e = jax.tree.map(lambda a: a[perm], banks)
+
+        def step(carry, sched):
+            p, s = carry
+            t0, w = sched
+            chunk = jax.tree.map(lambda a: jax.lax.dynamic_slice_in_dim(a, t0, bs), bank_e)
+            grads = grad_fn(p, chunk, w)
+            updates, s = tx.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), None
+
+        (p, s), _ = jax.lax.scan(step, (p, s), (starts, w_epoch), unroll=max(cfg.unroll, 1))
+        return (p, s), None
+
+    (params, _), _ = jax.lax.scan(epoch, (params, opt_state), perms)
+    return params
+
+
 def fo_maml_reattach(meta_params, adapted_params):
     """First-order MAML gradient plumbing.
 

@@ -159,6 +159,25 @@ def test_adam_lowmem_fp8_state_tracks_bf16_briefly():
     np.testing.assert_allclose(outs[jnp.bfloat16], outs[jnp.float8_e4m3fn], atol=2e-2)
 
 
+def test_inner_gather_epoch_equals_step():
+    """The epoch-wise bank permutation (gather hoisted out of the scan) is
+    numerically IDENTICAL to the per-step gather under the same key — same
+    permutations, same rows, same order."""
+    params, stats, head, episode, support, replicas = _setup()
+    outs = {}
+    for mode in ("step", "epoch"):
+        tcfg = TCFG._replace(linear_epochs=5, fine_tune_epochs=3, inner_gather=mode)
+        fn = jax.jit(
+            lambda p, s, h, e, r, ka, k: ee.ensemble_episode_scores(
+                p, s, p, s, h, e, r, ka, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=tcfg, **MKW
+            )
+        )
+        outs[mode] = np.asarray(
+            fn(params, stats, head, episode, support, jax.random.PRNGKey(0), jax.random.PRNGKey(3))
+        )
+    np.testing.assert_allclose(outs["step"], outs["epoch"], rtol=1e-6, atol=1e-6)
+
+
 def test_freeze_backbone_paths():
     """--freeze_backbone: no adaptation in the GNN member (scores are
     key-independent), head-only training + eval-mode BN in the linear member
