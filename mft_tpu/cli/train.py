@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -168,12 +169,21 @@ def run_episodic(a, manifest, aug_cfg, bcfg, gcfg, spec, params, stats, tx, opt_
         stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch)
         meter = AverageMeter()
         it = iter(stream)
+        t_data = t_step = 0.0
         for i in range(n_steps):
+            t0 = time.perf_counter()
             eps = np.stack([next(it)[0] for _ in range(e_batch)])
+            t1 = time.perf_counter()
             rng, k = jax.random.split(rng)
             params, stats, opt_state, m = step(params, stats, opt_state, jnp.asarray(eps), k)
-            meter.update(float(m["loss"]))
+            meter.update(float(m["loss"]))  # forces step completion
+            t2 = time.perf_counter()
+            t_data += t1 - t0
+            t_step += t2 - t1
             logger.log_train(epoch, i, n_steps, meter.avg)
+        # input-vs-compute wall split: a data_s >> step_s epoch means the run
+        # is host-input-bound, not TPU-bound (raise decode workers / base res)
+        logger.log_train(epoch, n_steps, n_steps, meter.avg, data_s=round(t_data, 3), step_s=round(t_step, 3))
         if epoch % a.save_freq == 0 or epoch == a.stop_epoch:
             ckpt.save_checkpoint(ckpt_dir, epoch, {"epoch": epoch, "params": params, "stats": stats, "opt_state": opt_state})
 
