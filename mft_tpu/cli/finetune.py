@@ -115,38 +115,40 @@ def build_models(a, paths, bcfg, gcfg):
     return models
 
 
-def compute_unsup_stats(a, paths, backbone_params, backbone_stats, bcfg, *, n_images: int = 200):
-    """Feature mean/std of an unlabeled dataset for the dampnet ``unsup``
-    recovery path (reference set_forward_unsup, dampnet_full.py:298-348:
-    ``x_u_mean/x_u_std`` are supplied from an external unlabeled sweep).
-
-    Embeds up to ``n_images`` center views of ``--unsupervised`` through the
-    backbone in one jitted chunked program and returns ``(mean, std)`` over
-    the feature axis."""
+def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg, *, n_images: int = 200):
+    """Embed up to ``n_images`` center views of ``dataset_name`` through the
+    backbone (one jitted chunked program) -> features [N, feat]."""
     from mft_tpu.data.pipeline import decode_image
     from mft_tpu.ops import augment as aug
 
-    entry_u = registry.get(a.unsupervised)
-    manifest_u = registry.build_manifest(entry_u, paths.as_dict())
-    idx = np.linspace(0, len(manifest_u) - 1, min(n_images, len(manifest_u))).astype(np.int64)
-    imgs = np.stack([decode_image(manifest_u.items[i], a.base_size) for i in idx])
+    entry_s = registry.get(dataset_name)
+    manifest_s = registry.build_manifest(entry_s, paths.as_dict())
+    idx = np.linspace(0, len(manifest_s) - 1, min(n_images, len(manifest_s))).astype(np.int64)
+    imgs = np.stack([decode_image(manifest_s.items[i], a.base_size) for i in idx])
+    n_real = len(imgs)
+    chunk = min(50, n_real)
+    pad = (-n_real) % chunk
+    if pad:
+        imgs = np.concatenate([imgs, imgs[:pad]])
 
     @jax.jit
     def embed(params, stats, x_u8):
         x = aug.center_batch(x_u8, a.image_size)
-        chunks = x.reshape((-1, min(50, x.shape[0])) + x.shape[1:])
+        chunks = x.reshape((-1, chunk) + x.shape[1:])
         feats = jax.lax.map(
             lambda xc: bb.apply_backbone(params, stats, xc, cfg=bcfg, train=True)[0], chunks
         )
-        feats = feats.reshape(-1, feats.shape[-1])
-        return jnp.mean(feats, axis=0), jnp.std(feats, axis=0)
+        return feats.reshape(-1, feats.shape[-1])
 
-    # pad to a multiple of the chunk size
-    chunk = min(50, len(imgs))
-    pad = (-len(imgs)) % chunk
-    if pad:
-        imgs = np.concatenate([imgs, imgs[:pad]])
-    return embed(backbone_params, backbone_stats, jnp.asarray(imgs))
+    return embed(backbone_params, backbone_stats, jnp.asarray(imgs))[:n_real]
+
+
+def compute_unsup_stats(a, paths, backbone_params, backbone_stats, bcfg, *, n_images: int = 200):
+    """Feature mean/std of an unlabeled dataset for the dampnet ``unsup``
+    recovery path (reference set_forward_unsup, dampnet_full.py:298-348:
+    ``x_u_mean/x_u_std`` are supplied from an external unlabeled sweep)."""
+    feats = sweep_features(a, paths, a.unsupervised, backbone_params, backbone_stats, bcfg, n_images=n_images)
+    return jnp.mean(feats, axis=0), jnp.std(feats, axis=0)
 
 
 def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
@@ -216,10 +218,20 @@ def main(argv=None):
     # filelist-backed datasets (CUB/cross) evaluate on their novel split
     manifest = registry.build_manifest(entry, paths.as_dict(), split="novel")
     models = build_models(a, paths, bcfg, gcfg)
-    if a.unsupervised and a.method.startswith("dampnet"):
-        dp, ds_, _, _ = models["dampnet"]
-        models["unsup_stats"] = compute_unsup_stats(a, paths, dp, ds_, bcfg)
-        print(f"unsup recovery stats from {a.unsupervised}")
+    if a.method.startswith("dampnet"):
+        dp, ds_, dparams, dstate = models["dampnet"]
+        if not bool(np.asarray(dstate["initialized"])):
+            # source-prototype precompute before eval (finetune_50.py:591-622:
+            # the reference sweeps all of miniImageNet through the model when
+            # the checkpoint lacks prototypes)
+            from mft_tpu.methods import dampnet as dn
+
+            feats = sweep_features(a, paths, a.dataset, dp, ds_, bcfg)
+            models["dampnet"] = (dp, ds_, dparams, dn.update_prototypes(dstate, feats))
+            print(f"dampnet source prototypes computed from {a.dataset}")
+        if a.unsupervised:
+            models["unsup_stats"] = compute_unsup_stats(a, paths, dp, ds_, bcfg)
+            print(f"unsup recovery stats from {a.unsupervised}")
 
     from mft_tpu.utils.metrics import profile_trace
 

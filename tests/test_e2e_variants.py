@@ -94,6 +94,9 @@ def test_dampnet_train_and_eval(save_dir, capsys):
                       "--save_iter", "1", "--iter_num", "2", "--eval_batch", "2",
                       "--gen_examples", "1", "--fine_tune_epoch", "1"])
     out = capsys.readouterr().out
+    # the 1-epoch checkpoint predates the prototype-refresh epoch, so the
+    # eval driver must run the source-prototype sweep (finetune_50.py:591-622)
+    assert "dampnet source prototypes computed" in out
     assert "Test Acc" in out
 
     # --unsupervised wires the unsup recovery path (reference
