@@ -62,8 +62,9 @@ def main():
     models = {"baseline": (feature, stats), "gnn": (feature, stats, {"fc": head["fc"], "gnn": head["gnn"]})}
 
     entry = registry.get("synthetic")
-    aug_cfg = entry.eval_aug._replace(image_size=224)
-    base_size = 256
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))  # tiny override for the CPU smoke test
+    aug_cfg = entry.eval_aug._replace(image_size=image_size)
+    base_size = int(os.environ.get("BENCH_BASE_SIZE", "256"))
 
     # ---- fast path: episode-batched, trunk-precompute -----------------
     # bf16 parameter carry in the inner scans is the fast default (validated:

@@ -1,0 +1,29 @@
+"""The driver contract: ``python bench.py`` prints exactly ONE JSON line on
+stdout with metric/value/unit/vs_baseline.  This smoke-runs the real bench
+at tiny geometry on the CPU backend so a bench breakage is caught before a
+TPU round burns on it."""
+
+import io
+import json
+import sys
+from contextlib import redirect_stdout
+
+
+def test_bench_prints_one_json_line(monkeypatch):
+    monkeypatch.setenv("BENCH_IMAGE_SIZE", "32")
+    monkeypatch.setenv("BENCH_BASE_SIZE", "48")
+    monkeypatch.setenv("BENCH_EPISODES", "2")
+    monkeypatch.setenv("BENCH_EVAL_BATCH", "2")
+    monkeypatch.setenv("BENCH_SERIAL_EPISODES", "1")
+
+    sys.path.insert(0, ".")
+    import bench
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bench.main()
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be exactly one line, got: {lines}"
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert rec["unit"] == "episodes/sec" and rec["value"] > 0
