@@ -167,6 +167,31 @@ def test_gnnnet_set_forward_full(g):
     np.testing.assert_allclose(np.asarray(scores), g["gnnnet.scores"], rtol=1e-3, atol=1e-4)
 
 
+def test_gnnnet50_compressed_set_forward(g):
+    """The 50-shot compressed head vs the reference gnnnet_copy
+    (methods/gnnnet_copy.py:51-78): support embeddings pair-averaged after
+    the fc projection -> half the graph slots."""
+    from mft_tpu.methods import gnnnet as gn
+
+    full_head = {
+        "fc": {
+            "linear": lin_mat(g["gnnnet50.fc.0.weight"], g["gnnnet50.fc.0.bias"]),
+            "bn": {"scale": jnp.asarray(g["gnnnet50.fc.1.weight"]), "bias": jnp.asarray(g["gnnnet50.fc.1.bias"])},
+        },
+        "gnn": {
+            "layers": [
+                {"w": _wcompute_tree(g, f"gnnnet50.gnn.layer_w{i}"), "l": _gconv_tree(g, f"gnnnet50.gnn.layer_l{i}")}
+                for i in range(2)
+            ],
+            "w_last": _wcompute_tree(g, "gnnnet50.gnn.w_comp_last"),
+            "l_last": _gconv_tree(g, "gnnnet50.gnn.layer_last", bn=False),
+        },
+    }
+    cfg = gn.GnnNetCfg(feat_dim=16, n_way=3, n_support=4, support_compress=2)
+    scores = gn.gnn_scores(full_head, jnp.asarray(g["gnnnet50.feats"]), cfg, n_query=15)
+    np.testing.assert_allclose(np.asarray(scores), g["gnnnet50.scores"], rtol=1e-3, atol=1e-4)
+
+
 def test_dampnet_domain_shift_full(g):
     """The complete DampNet eval path vs the reference's own
     set_forward(x, is_feature=True, domain_shift=True)

@@ -139,6 +139,33 @@ def gen_gnnnet_set_forward():
         OUT["gnnnet.scores"] = m.set_forward(feats, is_feature=True).numpy()  # [45, 3]
 
 
+def gen_gnnnet50_set_forward():
+    """The 50-shot compressed GnnNet forward (methods/gnnnet_copy.py:51-78
+    ``set_forward(x, is_feature=True)``): support embeddings pair-averaged
+    AFTER the fc projection, halving the graph node count."""
+    import gnnnet_copy as ref_copy
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    class StubBackbone(nn.Module):
+        final_feat_dim = 16
+
+        def forward(self, x):
+            raise AssertionError("is_feature=True must not call the backbone")
+
+    gen = torch.Generator().manual_seed(6)
+    m = ref_copy.GnnNet(StubBackbone, n_way=3, n_support=4)  # halved to 2 graph slots
+    randomize_bn(m, gen)
+    m.train()
+    m.n_query = 15
+    feats = torch.randn(3, 4 + 15, 16, generator=gen)
+    OUT["gnnnet50.feats"] = feats.numpy()
+    put("gnnnet50", m)
+    with torch.no_grad():
+        OUT["gnnnet50.scores"] = m.set_forward(feats, is_feature=True).numpy()  # [45, 3]
+
+
 def gen_dampnet_domain_shift():
     """The full DampNet eval path from features
     (dampnet_full_class.py:262-352 ``set_forward(x, is_feature=True,
@@ -204,6 +231,7 @@ def main():
     gen_simple_block()
     gen_gnn_pieces()
     gen_gnnnet_set_forward()
+    gen_gnnnet50_set_forward()
     gen_dampnet_domain_shift()
     gen_optimizers()
     import os
