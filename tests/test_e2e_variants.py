@@ -59,6 +59,19 @@ def test_train50_and_finetune50_wrappers(save_dir, capsys):
     assert GnnNetCfg(n_support=50, support_compress=2).eff_support == 25
 
 
+def test_resnet10_fw_trains(save_dir):
+    """--model ResNet10_FW: the feature-wise-transformation backbone
+    (sampled per-channel affine noise, reference backbone.py:314-350)
+    through the episodic training driver."""
+    from mft_tpu.cli import train as tr
+
+    tr.main(COMMON + ["--model", "ResNet10_FW", "--method", "gnnnet", "--n_shot", "2",
+                      "--stop_epoch", "0", "--save_freq", "1", "--episodes_per_epoch", "1",
+                      "--train_aug"])
+    d = save_dir / "checkpoints" / "synthetic" / "ResNet10_FW_gnnnet_aug_5way_2shot"
+    assert os.path.exists(d / "0.ckpt")
+
+
 def test_protonet_freeze_and_minibatch_eval(save_dir, capsys):
     """The remaining eval-driver surfaces: the ProtoNet head
     (finetune.py:441-442,619), --freeze_backbone (finetune.py:123-135), and
