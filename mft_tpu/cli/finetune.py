@@ -47,19 +47,28 @@ def _load_backbone_state(path: str, bcfg, template_extra=None):
     the ``feature.*`` keys and drops the head / FO-MAML bookkeeping
     (finetune.py:187-198,506-512) — here the checkpoint is a structured
     pytree so this is a simple field selection.
+
+    Loading is STRICT: a checkpoint missing the ``params``/``stats`` trees
+    (or with a mismatched tree structure) raises instead of silently keeping
+    template-initialized values — torch ``load_state_dict`` fails loudly on
+    state-dict mismatch (reference finetune.py:61,198) and so do we.
     """
     feature, stats = bb.init_backbone(jax.random.PRNGKey(0), bcfg)
     like_params = {"feature": feature}
     if template_extra:
         like_params.update(template_extra)
-    tmpl = {"epoch": 0, "params": like_params, "stats": stats, "opt_state": None}
-    # opt_state isn't needed for eval; deserialize leniently
     import flax.serialization as ser
 
     with open(path, "rb") as f:
         raw = ser.msgpack_restore(f.read())
-    params = ser.from_state_dict(like_params, raw["params"]) if "params" in raw else ser.from_state_dict(like_params, raw)
-    stats = ser.from_state_dict(stats, raw["stats"]) if "stats" in raw else stats
+    missing = [k for k in ("params", "stats") if not isinstance(raw, dict) or k not in raw]
+    if missing:
+        raise ValueError(
+            f"checkpoint {path!r} is missing required tree(s) {missing}; "
+            "refusing to eval with template-initialized values"
+        )
+    params = ser.from_state_dict(like_params, raw["params"])
+    stats = ser.from_state_dict(stats, raw["stats"])
     return params, stats
 
 
@@ -94,9 +103,15 @@ def build_models(a, paths, bcfg, gcfg):
         feature, stats = bb.init_backbone(jax.random.PRNGKey(0), bcfg)
         with open(path, "rb") as f:
             raw = ser.msgpack_restore(f.read())
+        missing = [k for k in ("params", "stats", "damp_state") if not isinstance(raw, dict) or k not in raw]
+        if missing:
+            raise ValueError(
+                f"dampnet checkpoint {path!r} is missing required tree(s) {missing}; "
+                "refusing to eval with template-initialized values"
+            )
         full = ser.from_state_dict({"feature": feature, **dparams_tmpl}, raw["params"])
         stats = ser.from_state_dict(stats, raw["stats"])
-        dstate = ser.from_state_dict(dstate_tmpl, raw["damp_state"]) if "damp_state" in raw else dstate_tmpl
+        dstate = ser.from_state_dict(dstate_tmpl, raw["damp_state"])
         dparams = {k: v for k, v in full.items() if k != "feature"}
         models["dampnet"] = (full["feature"], stats, dparams, dstate)
         models["_dcfg"] = dcfg
@@ -115,15 +130,22 @@ def build_models(a, paths, bcfg, gcfg):
     return models
 
 
-def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg, *, n_images: int = 200):
-    """Embed up to ``n_images`` center views of ``dataset_name`` through the
-    backbone (one jitted chunked program) -> features [N, feat]."""
+def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg, *, n_images: int = -1):
+    """Embed center views of ``dataset_name`` through the backbone (one
+    jitted chunked program) -> features [N, feat].
+
+    ``n_images=-1`` (default) sweeps the full dataset — reference parity:
+    the dampnet prototype precompute iterates the entire miniImageNet base
+    set (finetune_50.py:591-622).  A positive value subsamples ``n_images``
+    evenly-spaced images (``--sweep_images``; a statistical deviation, useful
+    on slow hosts)."""
     from mft_tpu.data.pipeline import decode_image
     from mft_tpu.ops import augment as aug
 
     entry_s = registry.get(dataset_name)
     manifest_s = registry.build_manifest(entry_s, paths.as_dict())
-    idx = np.linspace(0, len(manifest_s) - 1, min(n_images, len(manifest_s))).astype(np.int64)
+    cap = len(manifest_s) if n_images is None or n_images < 0 else min(n_images, len(manifest_s))
+    idx = np.linspace(0, len(manifest_s) - 1, cap).astype(np.int64)
     imgs = np.stack([decode_image(manifest_s.items[i], a.base_size) for i in idx])
     n_real = len(imgs)
     chunk = min(50, n_real)
@@ -143,12 +165,14 @@ def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg
     return embed(backbone_params, backbone_stats, jnp.asarray(imgs))[:n_real]
 
 
-def compute_unsup_stats(a, paths, backbone_params, backbone_stats, bcfg, *, n_images: int = 200):
+def compute_unsup_stats(a, paths, backbone_params, backbone_stats, bcfg, *, n_images: int = -1):
     """Feature mean/std of an unlabeled dataset for the dampnet ``unsup``
     recovery path (reference set_forward_unsup, dampnet_full.py:298-348:
     ``x_u_mean/x_u_std`` are supplied from an external unlabeled sweep)."""
     feats = sweep_features(a, paths, a.unsupervised, backbone_params, backbone_stats, bcfg, n_images=n_images)
-    return jnp.mean(feats, axis=0), jnp.std(feats, axis=0)
+    # ddof=1: torch .std default (unbiased) — matches every analogous
+    # statistic in methods/dampnet.py (update_prototypes/episode_stats)
+    return jnp.mean(feats, axis=0), jnp.std(feats, axis=0, ddof=1)
 
 
 def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
@@ -226,11 +250,11 @@ def main(argv=None):
             # the checkpoint lacks prototypes)
             from mft_tpu.methods import dampnet as dn
 
-            feats = sweep_features(a, paths, a.dataset, dp, ds_, bcfg)
+            feats = sweep_features(a, paths, a.dataset, dp, ds_, bcfg, n_images=a.sweep_images)
             models["dampnet"] = (dp, ds_, dparams, dn.update_prototypes(dstate, feats))
             print(f"dampnet source prototypes computed from {a.dataset}")
         if a.unsupervised:
-            models["unsup_stats"] = compute_unsup_stats(a, paths, dp, ds_, bcfg)
+            models["unsup_stats"] = compute_unsup_stats(a, paths, dp, ds_, bcfg, n_images=a.sweep_images)
             print(f"unsup recovery stats from {a.unsupervised}")
 
     from mft_tpu.utils.metrics import profile_trace

@@ -93,6 +93,11 @@ def main(argv=None):
     )
     bcfg = bcfg._replace(compute_dtype=params_args.dtype)
     tx = opt.torch_adam(1e-3)  # Adam(model.parameters()) defaults (train.py:27-28)
+    trainable = bb.fwt_trainable_mask(params)
+    if not all(jax.tree.leaves(trainable)):
+        # ResNet10_FW: the FWT noise-strength params are requires_grad=False
+        # in the reference (backbone.py:324-325) and must never train
+        tx = opt.freeze_masked(tx, trainable)
     opt_state = tx.init(params)
 
     ckpt_dir = cfg_mod.checkpoint_dir(

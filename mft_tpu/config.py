@@ -99,6 +99,9 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--inner_param_dtype", default="float32", choices=["float32", "bfloat16"],
                         help="carry dtype of the eval inner-scan parameters (bfloat16 = fast path)")
+    parser.add_argument("--sweep_images", default=-1, type=int,
+                        help="images for dampnet prototype/unsup feature sweeps; -1 = full dataset "
+                             "(reference parity, finetune_50.py:591-622)")
     parser.add_argument("--seed", default=10, type=int, help="reference seed discipline (train.py:69)")
     parser.add_argument("--paths_json", default=None)
     parser.add_argument("--trace_dir", default=None, help="jax.profiler trace output dir")

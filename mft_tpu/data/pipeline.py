@@ -15,7 +15,7 @@ on device (ops/augment.py).
 from __future__ import annotations
 
 import concurrent.futures as cf
-
+import os
 
 import numpy as np
 
@@ -46,8 +46,11 @@ def decode_image(item, base_size: int) -> np.ndarray:
         # JPEG draft mode: libjpeg decodes directly at 1/2, 1/4, or 1/8 DCT
         # scale when the target is smaller than the source — up to ~8x less
         # decode work for large-source datasets (no-op for small sources or
-        # non-JPEG formats).
-        im.draft("RGB", (base_size, base_size))
+        # non-JPEG formats).  Pixels differ slightly from a full-resolution
+        # decode + resize (the reference's path); MFT_DRAFT_DECODE=0 disables
+        # it for strict-parity runs (documented in README deviations).
+        if os.environ.get("MFT_DRAFT_DECODE", "1") != "0":
+            im.draft("RGB", (base_size, base_size))
         im = im.convert("RGB").resize((base_size, base_size), Image.BILINEAR)
         return np.asarray(im, np.uint8)
 

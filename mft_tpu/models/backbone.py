@@ -32,6 +32,7 @@ boundary; we use the cleaner per-block boundary and document the divergence.)
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -45,10 +46,12 @@ from mft_tpu.ops.norm import batch_norm, softplus100
 class ResNetCfg(NamedTuple):
     """Static backbone architecture description.
 
-    ``block``: 'simple' (plain residual block) or 'fwt' (feature-wise
+    ``block``: 'simple' (plain residual block), 'fwt' (feature-wise
     transformation block: the second BN and the shortcut BN carry sampled
     per-channel affine noise during training — reference backbone.py:90-130,
-    314-350).
+    314-350), or 'bottleneck' (3-conv bottleneck, reference
+    backbone.py:264-311 — defined upstream but unused by every shipped
+    config; implemented for §2.2 inventory completeness).
     """
 
     stage_sizes: Tuple[int, ...]
@@ -122,6 +125,31 @@ MODEL_REGISTRY = {
 # --------------------------------------------------------------------------
 
 
+def _init_bottleneck_block(key, cin: int, cout: int, dtype):
+    """BottleneckBlock params (reference backbone.py:264-291): 1x1 reduce
+    (no bias) -> 3x3 (with bias — the reference's C2 keeps the Conv2d
+    default) -> 1x1 expand (no bias), each followed by BN; 1x1 conv shortcut
+    *without* BN when cin != cout.  All conv weights get the fan-in normal
+    init (init_layer applies to every parametrized layer, :293-294); C2's
+    bias keeps the torch Conv2d default U(-1/sqrt(cin*k*k), ...)."""
+    mid = cout // 4
+    ks = jax.random.split(key, 5)
+    bound = 1.0 / math.sqrt(mid * 3 * 3)
+    p = {
+        "conv1": conv_fanin_normal(ks[0], 1, 1, cin, mid, dtype),
+        "bn1": bn_params(mid, dtype),
+        "conv2": conv_fanin_normal(ks[1], 3, 3, mid, mid, dtype),
+        "conv2_b": jax.random.uniform(ks[2], (mid,), dtype, -bound, bound),
+        "bn2": bn_params(mid, dtype),
+        "conv3": conv_fanin_normal(ks[3], 1, 1, mid, cout, dtype),
+        "bn3": bn_params(cout, dtype),
+    }
+    s = {"bn1": bn_stats(mid, dtype), "bn2": bn_stats(mid, dtype), "bn3": bn_stats(cout, dtype)}
+    if cin != cout:
+        p["conv_sc"] = conv_fanin_normal(ks[4], 1, 1, cin, cout, dtype)
+    return p, s
+
+
 def _init_block(key, cin: int, cout: int, fwt: bool, dtype):
     ks = jax.random.split(key, 3)
     p = {
@@ -167,7 +195,10 @@ def init_backbone(key, cfg: ResNetCfg, dtype=jnp.float32):
     for i, n in enumerate(cfg.stage_sizes):
         sp, ss = [], []
         for j in range(n):
-            p, s = _init_block(keys[k], cin, cfg.widths[i], fwt, dtype)
+            if cfg.block == "bottleneck":
+                p, s = _init_bottleneck_block(keys[k], cin, cfg.widths[i], dtype)
+            else:
+                p, s = _init_block(keys[k], cin, cfg.widths[i], fwt, dtype)
             sp.append(p)
             ss.append(s)
             cin = cfg.widths[i]
@@ -217,7 +248,26 @@ def _cd(cfg: "ResNetCfg"):
     return None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
 
 
+def _apply_bottleneck(p, s, x, half_res: bool, ctx: BNCtx, cd=None):
+    """BottleneckBlock forward (reference backbone.py:297-311): the stride
+    sits on C2 and on the conv shortcut; the shortcut has no BN."""
+    stride = 2 if half_res else 1
+    out = conv2d(x, p["conv1"], stride=1, padding=0, compute_dtype=cd)
+    out, s1 = _bn(out, p["bn1"], s["bn1"], ctx)
+    out = jax.nn.relu(out)
+    out = conv2d(out, p["conv2"], stride=stride, padding=1, compute_dtype=cd)
+    out = out + p["conv2_b"].astype(out.dtype)
+    out, s2 = _bn(out, p["bn2"], s["bn2"], ctx)
+    out = jax.nn.relu(out)
+    out = conv2d(out, p["conv3"], stride=1, padding=0, compute_dtype=cd)
+    out, s3 = _bn(out, p["bn3"], s["bn3"], ctx)
+    short = conv2d(x, p["conv_sc"], stride=stride, padding=0, compute_dtype=cd) if "conv_sc" in p else x
+    return jax.nn.relu(out + short), {"bn1": s1, "bn2": s2, "bn3": s3}
+
+
 def _apply_block(p, s, x, half_res: bool, ctx: BNCtx, fwt: bool, train: bool, rng, cd=None):
+    if "conv3" in p:
+        return _apply_bottleneck(p, s, x, half_res, ctx, cd)
     stride = 2 if half_res else 1
     out = conv2d(x, p["conv1"], stride=stride, padding=1, compute_dtype=cd)
     out, s1 = _bn(out, p["bn1"], s["bn1"], ctx)
@@ -396,8 +446,6 @@ def adapt_merge(trunk, last):
 def fwt_trainable_mask(params):
     """Pytree of bools: False for the non-trainable FWT gamma/beta params
     (reference backbone.py:324-325), True elsewhere."""
-    def mark(path_leaf):
-        return True
 
     def walk(tree, key_hint=""):
         if isinstance(tree, dict):

@@ -109,9 +109,10 @@ def _bank_fmap(
     through the frozen trunk, and discarded — peak extra memory is one
     25-image group, and only the ``[R*support, 14, 14, C]`` feature bank
     (bf16 under the fast path) stays resident.  Trunk BN batch statistics are
-    computed per replica group (one full support set), the closest
-    granularity to the reference's per-bank semantics that never stores
-    images.
+    computed per replica group (one full support set) — or per <=128-image
+    sub-chunk for groups larger than 128 (e.g. 50-shot's 250-image groups
+    split into 125s) — the closest granularity to the reference's per-bank
+    semantics that never stores images.
 
     ``clean_only``: the linear member trains on the clean support alone
     (reference finetune.py:139-140), so its bank is one center-view group.

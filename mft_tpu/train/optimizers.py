@@ -129,3 +129,14 @@ def grouped(transforms: dict, labels):
     """Per-subtree optimizers (reference's separate delta_opt/classifier_opt,
     finetune.py:109,124).  ``labels`` is a pytree (or prefix) of group names."""
     return optax.multi_transform(transforms, labels)
+
+
+def freeze_masked(tx, trainable_mask):
+    """``tx`` where ``trainable_mask`` is True, zero updates where False —
+    the functional equivalent of torch's ``requires_grad=False`` exclusion
+    from the optimizer (reference backbone.py:324-325 pins the FWT
+    noise-strength params; train.py:27 then builds Adam over
+    ``model.parameters()``, which still skips them because autograd never
+    populates their ``.grad``)."""
+    labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)

@@ -89,6 +89,18 @@ def resnet_block(p, x, half_res):
     return relu(out + short)
 
 
+def bottleneck_block(p, x, half_res):
+    """BottleneckBlock (reference backbone.py:264-311): 1x1 -> 3x3(stride,
+    bias) -> 1x1, BN after each, conv-only shortcut, relu after add."""
+    stride = 2 if half_res else 1
+    out = relu(batch_norm(conv2d(x, p["conv1"], stride=1, pad=0), p["bn1"]["scale"], p["bn1"]["bias"]))
+    out = conv2d(out, p["conv2"], stride=stride, pad=1) + np.asarray(p["conv2_b"], np.float64)
+    out = relu(batch_norm(out, p["bn2"]["scale"], p["bn2"]["bias"]))
+    out = batch_norm(conv2d(out, p["conv3"], stride=1, pad=0), p["bn3"]["scale"], p["bn3"]["bias"])
+    short = conv2d(x, p["conv_sc"], stride=stride, pad=0) if "conv_sc" in p else x
+    return relu(out + short)
+
+
 # -- GNN head oracles (reference methods/gnn.py semantics) ------------------
 
 

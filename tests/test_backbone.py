@@ -135,6 +135,36 @@ def test_fwt_noise_applied_only_with_rng():
     assert not np.allclose(np.asarray(b), np.asarray(c))
 
 
+def test_bottleneck_block_matches_numpy_oracle():
+    """BottleneckBlock (reference backbone.py:264-311) behind
+    ResNetCfg(block='bottleneck'): init structure + train-mode forward."""
+    cfg = bb.ResNetCfg((1, 1), (64, 128), "bottleneck", flatten=False)
+    params, stats = jinit(jax.random.PRNGKey(3), cfg)
+    # structure: 3 convs + 3 BNs + biased C2 + conv-only shortcut (no bn_sc)
+    blk = params["stages"][1][0]
+    assert set(blk) == {"conv1", "bn1", "conv2", "conv2_b", "bn2", "conv3", "bn3", "conv_sc"}
+    assert blk["conv1"].shape == (1, 1, 64, 32) and blk["conv2"].shape == (3, 3, 32, 32)
+    assert blk["conv3"].shape == (1, 1, 32, 128) and blk["conv2_b"].shape == (32,)
+    # identity shortcut when cin == cout
+    blk0 = params["stages"][0][0]
+    assert "conv_sc" not in blk0  # 64 -> 64
+
+    x = np.random.RandomState(7).randn(2, 8, 8, 64).astype(np.float32)
+    ours = jax.jit(
+        lambda p, s, xx: bb._apply_block(p, s, xx, True, bb.BNCtx(True, False, 0.1, None), False, True, None)[0]
+    )(blk, stats["stages"][1][0], jnp.asarray(x))
+    ref = oracles.bottleneck_block(_np(blk), x, half_res=True)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bottleneck_backbone_forward_shape():
+    cfg = bb.ResNetCfg((1, 1, 1, 1), (64, 128, 256, 512), "bottleneck", flatten=True)
+    params, stats = jinit(jax.random.PRNGKey(4), cfg)
+    x = jnp.asarray(np.random.RandomState(8).randn(2, 64, 64, 3).astype(np.float32))
+    out, _ = japply(params, stats, x, cfg=cfg, train=True)
+    assert out.shape == (2, 512)
+
+
 def test_fwt_trainable_mask():
     cfg = bb.resnet10_fw()
     params, _ = jinit(jax.random.PRNGKey(0), cfg)
