@@ -185,7 +185,7 @@ def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
     dcfg = models.pop("_dcfg", None)
     program = ee.make_eval_program(
         method=a.method, bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg,
-        gen_examples=a.gen_examples, dcfg=dcfg,
+        gen_examples=a.gen_examples, dcfg=dcfg, dampnet_eval=getattr(a, "dampnet_eval", "finetune"),
     )
     import math
 

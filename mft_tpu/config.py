@@ -99,6 +99,10 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--inner_param_dtype", default="float32", choices=["float32", "bfloat16"],
                         help="carry dtype of the eval inner-scan parameters (bfloat16 = fast path)")
+    parser.add_argument("--dampnet_eval", default="finetune", choices=["finetune", "nofinetune"],
+                        help="dampnet eval composition: 'finetune' = the live reference path "
+                             "(adapt last block, then domain-shift scoring, finetune_50.py:589-687); "
+                             "'nofinetune' = the no-adaptation branch with probe fusion (finetune.py:331-417)")
     parser.add_argument("--sweep_images", default=-1, type=int,
                         help="images for dampnet prototype/unsup feature sweeps; -1 = full dataset "
                              "(reference parity, finetune_50.py:591-622)")

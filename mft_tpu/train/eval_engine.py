@@ -460,19 +460,45 @@ def dampnet_member_scores(
     damp_params,
     damp_state,
     episode,
-    key,
+    support_bank,
+    k_aug,
+    k_fit,
     *,
     bcfg: bb.ResNetCfg,
     dcfg,
     spec: EpisodeSpec,
+    tcfg: TransferCfg,
+    aug_cfg=None,
+    gen_examples: int = 0,
+    eval_mode: str = "finetune",
     with_linear_fusion: bool = True,
     unsup_stats=None,
 ):
-    """``nofinetune`` with the DampNet domain-shift path (finetune.py:331-417,
-    the dampnet branch of the eval drivers): no backbone adaptation — embed
-    the episode, recover features vs the source prototypes, score via
-    fc+GNN; optionally fuse half the softmax of the 100-epoch linear probe
-    on the recovered 128-d projections (:378-414).
+    """The LIVE dampnet eval composition (``eval_mode='finetune'``, default):
+    the shipped dampnet dispatch routes through ``finetune()`` with
+    ``ds=True`` — transfer-fine-tune the backbone's last block on the
+    augmented support bank exactly like the GNN member (finetune() is
+    head-agnostic, including the features-as-logits inner-loss quirk), then
+    score the **adapted** episode features with
+    ``set_forward(is_feature=True, domain_shift=True)``
+    (/root/reference/finetune_50.py:589-622 sets ``ds=True``, :687 routes to
+    finetune; finetune.py:313-314 the ds branch).  No probe fusion — that
+    exists only in ``nofinetune`` (:378-414), which the shipped dispatch
+    never reaches for dampnet.
+
+    ``eval_mode='nofinetune'``: the no-adaptation composition (the reference's
+    ``nofinetune`` ds branch, finetune.py:331-417): embed with the frozen
+    backbone, recover vs source prototypes, fc+GNN scoring, optionally fusing
+    half the softmax of the 100-epoch linear probe on the recovered 128-d
+    projections (``with_linear_fusion``).
+
+    Reference quirk (documented, NOT reproduced): the 5-shot driver never
+    sets ``ds=True`` (finetune.py:432), so its dampnet dispatch reaches
+    ``set_forward(is_feature=True)`` *without* domain_shift — which crashes
+    upstream (BatchNorm1d(128) applied to a rank-3 ``[n_way, slots, 128]``
+    tensor, dampnet_full_class.py:100-104 + the 3-D ``fc`` reapplication at
+    :125-131).  The working 50-shot composition is implemented for all shot
+    counts instead; see README "Faithfully reproduced quirks".
 
     ``unsup_stats=(mean, std)``: recovery conditioned on an externally
     supplied unlabeled dataset's feature statistics instead of the episode's
@@ -484,15 +510,42 @@ def dampnet_member_scores(
     from mft_tpu.train.inner_loop import InnerLoopCfg, inner_fit
     from mft_tpu.train.optimizers import reference_probe_sgd
 
-    feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec)
     if unsup_stats is not None:
+        feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec)
         scores = dampnet_scores(
             damp_params, damp_state, feats, dcfg, spec.n_query, mode="unsup", unsup_stats=unsup_stats
         )
         return jax.nn.softmax(scores, axis=1)
+
+    if eval_mode == "finetune" and not tcfg.freeze_backbone:
+        # live path: adapt the last block on the bank (identical to the GNN
+        # member — finetune.py:238-299), then domain-shift-score the adapted
+        # features (finetune.py:306,313-314)
+        fmap_bank, bank_x, n_rep = _member_bank(
+            backbone_params, backbone_stats, support_bank, k_aug,
+            bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+        )
+        bank_y = bank_labels(spec, n_rep)
+        adapted_block, _ = _adapt_block(
+            backbone_params, backbone_stats, bank_y, k_fit,
+            bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
+            fmap_bank=fmap_bank, bank_x=bank_x,
+        )
+        trunk_p, _ = bb.adapt_split(backbone_params)
+        full = bb.adapt_merge(trunk_p, adapted_block)
+        feats = _embed_episode(full, backbone_stats, episode, bcfg=bcfg, spec=spec)
+        scores = dampnet_scores(damp_params, damp_state, feats, dcfg, spec.n_query, mode="domain_shift")
+        return jax.nn.softmax(scores, axis=1)
+
+    key = k_fit
+    # freeze_backbone routes finetune() through eval() -> running BN stats
+    # (finetune.py:265-266); nofinetune never leaves train mode -> batch stats
+    bn_train = True if eval_mode != "finetune" else not tcfg.freeze_backbone
+    feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec, train=bn_train)
     scores = dampnet_scores(damp_params, damp_state, feats, dcfg, spec.n_query, mode="domain_shift")
     out = jax.nn.softmax(scores, axis=1)
-    if not with_linear_fusion:
+    if eval_mode == "finetune" or not with_linear_fusion:
+        # the finetune composition never fuses the probe (:303-317)
         return out
 
     # set_forward_adaptation_full: probe on the recovered gnn_dim projection
@@ -523,6 +576,7 @@ def make_eval_program(
     aug_cfg,
     gen_examples: int,
     dcfg=None,
+    dampnet_eval: str = "finetune",
 ):
     """Build the fully-fused, episode-batched eval program.
 
@@ -574,8 +628,9 @@ def make_eval_program(
         elif method.startswith("dampnet"):
             dp, ds_, dparams, dstate = models["dampnet"]
             scores = dampnet_member_scores(
-                dp, ds_, dparams, dstate, episode, k_fit, bcfg=bcfg, dcfg=dcfg, spec=spec,
-                unsup_stats=models.get("unsup_stats"),
+                dp, ds_, dparams, dstate, episode, bank, k_aug, k_fit,
+                bcfg=bcfg, dcfg=dcfg, spec=spec, tcfg=tcfg, eval_mode=dampnet_eval,
+                unsup_stats=models.get("unsup_stats"), **mkw,
             )
         else:
             raise ValueError(f"unknown eval method {method!r}")

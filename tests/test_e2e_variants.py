@@ -121,3 +121,11 @@ def test_dampnet_train_and_eval(save_dir, capsys):
                       "--gen_examples", "1", "--fine_tune_epoch", "1"])
     out = capsys.readouterr().out
     assert "unsup recovery stats" in out and "Test Acc" in out
+
+    # the no-adaptation composition (reference nofinetune ds branch with
+    # probe fusion, finetune.py:331-417) stays reachable via --dampnet_eval
+    ft.main(COMMON + ["--method", "dampnet_full_class", "--test_dataset", "synthetic", "--n_shot", "2",
+                      "--dampnet_eval", "nofinetune",
+                      "--save_iter", "1", "--iter_num", "2", "--eval_batch", "2",
+                      "--gen_examples", "1", "--fine_tune_epoch", "1"])
+    assert "Test Acc" in capsys.readouterr().out

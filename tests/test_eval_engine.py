@@ -237,6 +237,44 @@ def test_bn_mode_agreement_bound():
     assert agree >= 0.75
 
 
+def test_dampnet_member_live_vs_nofinetune():
+    """The live dampnet member (finetune_50.py:589-687 composition) adapts
+    the backbone before domain-shift scoring; the nofinetune branch does not.
+    With zero fine-tune epochs the two compositions collapse to the same
+    program (modulo the probe fusion, which only nofinetune applies)."""
+    from mft_tpu.methods import dampnet as dn
+
+    params, stats, head, episode, support, replicas = _setup()
+    dcfg = dn.DampNetCfg(feat_dim=512, n_way=SPEC.n_way, n_support=SPEC.n_support)
+    dparams, dstate = jax.jit(lambda k: dn.init_dampnet(k, dcfg))(jax.random.PRNGKey(3))
+    dstate = dn.update_prototypes(dstate, jax.random.normal(jax.random.PRNGKey(4), (32, 512)))
+
+    def run(tcfg, eval_mode, fusion=True):
+        fn = jax.jit(
+            lambda p, s, e, r, ka, k: ee.dampnet_member_scores(
+                p, s, dparams, dstate, e, r, ka, k, bcfg=BCFG, dcfg=dcfg, spec=SPEC,
+                tcfg=tcfg, eval_mode=eval_mode, with_linear_fusion=fusion, **MKW,
+            )
+        )
+        return np.asarray(fn(params, stats, episode, support, jax.random.PRNGKey(0), jax.random.PRNGKey(1)))
+
+    live = run(TCFG, "finetune")
+    assert live.shape == (SPEC.query_size, SPEC.n_way)
+    np.testing.assert_allclose(live.sum(1), 1.0, atol=1e-5)  # no fusion on the live path
+
+    nofit = run(TCFG, "nofinetune", fusion=False)
+    # adaptation moved the features -> different scores
+    assert not np.allclose(live, nofit, atol=1e-5)
+
+    # epochs=0 collapses the live member onto the fusion-free nofinetune one
+    live0 = run(TCFG._replace(fine_tune_epochs=0), "finetune")
+    np.testing.assert_allclose(live0, nofit, rtol=1e-5, atol=1e-5)
+
+    # nofinetune keeps the reference's probe fusion: sums to 1 + 1/2
+    fused = run(TCFG, "nofinetune", fusion=True)
+    np.testing.assert_allclose(fused.sum(1), 1.5, atol=1e-4)
+
+
 def test_accuracy_and_ci_helpers():
     scores = jnp.asarray(np.eye(3).repeat(3, axis=0))  # perfect predictions
     assert float(ee.episode_accuracy(scores, SPEC)) == 100.0
