@@ -88,10 +88,13 @@ def build_models(a, paths, bcfg, gcfg):
     if a.method.startswith("dampnet"):
         from mft_tpu.methods import dampnet as dn
 
-        dcfg = dn.DampNetCfg(
-            feat_dim=bcfg.feat_dim, n_way=a.test_n_way, n_support=a.n_shot,
-            stat="class" if a.method == "dampnet_full_class" else "support",
-        )
+        if a.method == "dampnet":  # the prototype variant (reference methods/dampnet.py)
+            dcfg = dn.prototype_cfg(bcfg.feat_dim, a.test_n_way, a.n_shot)
+        else:
+            dcfg = dn.DampNetCfg(
+                feat_dim=bcfg.feat_dim, n_way=a.test_n_way, n_support=a.n_shot,
+                stat="class" if a.method == "dampnet_full_class" else "support",
+            )
         d = cfg_mod.checkpoint_dir(
             paths, pretrained_dataset, a.model, a.method, train_aug=a.train_aug,
             n_way=a.train_n_way, n_shot=a.n_shot,

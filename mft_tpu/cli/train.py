@@ -58,10 +58,13 @@ def build_model(params_key, method: str, model_name: str, n_way: int, n_support:
     elif method.startswith("dampnet"):
         from mft_tpu.methods import dampnet as dn
 
-        gcfg = dn.DampNetCfg(
-            feat_dim=bcfg.feat_dim, n_way=n_way, n_support=n_support,
-            stat="class" if method == "dampnet_full_class" else "support",
-        )
+        if method == "dampnet":  # the prototype variant (reference methods/dampnet.py)
+            gcfg = dn.prototype_cfg(bcfg.feat_dim, n_way, n_support)
+        else:
+            gcfg = dn.DampNetCfg(
+                feat_dim=bcfg.feat_dim, n_way=n_way, n_support=n_support,
+                stat="class" if method == "dampnet_full_class" else "support",
+            )
         dparams, damp_state = jax.jit(functools.partial(dn.init_dampnet, cfg=gcfg))(kh)
         params = {"feature": feature, **dparams}
     else:
@@ -212,6 +215,9 @@ def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_s
         return steps.dampnet_train_step(params, stats, opt_state, dstate, x, k_step,
                                         mode=mode, bcfg=bcfg, dcfg=dcfg, spec=spec, tx=tx)
 
+    proto_variant = dcfg.variant == "prototype"
+    store_step = jax.jit(dn.update_prototype_store) if proto_variant else None
+
     n_steps = max(1, a.episodes_per_epoch // e_batch)
     for epoch in range(start_epoch, a.stop_epoch + 1):
         stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch)
@@ -221,15 +227,26 @@ def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_s
         for i in range(n_steps):
             eps = np.stack([next(it)[0] for _ in range(e_batch)])
             rng, k = jax.random.split(rng)
-            mode = dn.training_mode(step_index, bool(dstate["initialized"]))
+            if proto_variant:
+                # plain first call, then odd=corrupt / even=recover by
+                # call_count parity (dampnet.py:54,95-138)
+                mode = dn.prototype_training_mode(int(dstate["count"]))
+            else:
+                mode = dn.training_mode(step_index, bool(dstate["initialized"]))
             params, stats, opt_state, m = step(params, stats, opt_state, dstate, jnp.asarray(eps), k, mode=mode)
             epoch_bank.append(np.asarray(m["support_bank"]).reshape(-1, dcfg.feat_dim))
+            if proto_variant:
+                # rotate this batch's clean support banks into the rolling
+                # prototype store (dampnet.py:133-136)
+                dstate = store_step(dstate, m["support_bank"])
             step_index += e_batch
             meter.update(float(m["loss"]))
             logger.log_train(epoch, i, n_steps, meter.avg, mode=mode)
         window.append(np.concatenate(epoch_bank))
         window[:] = window[-5:]
-        if epoch >= proto_start:
+        if epoch >= proto_start and not proto_variant:
+            # the prototype variant never refreshes its eval prototypes in
+            # training; the eval driver's get_all_feat sweep sets them
             dstate = dn.update_prototypes(dstate, jnp.asarray(np.concatenate(window)))
         if epoch % a.save_freq == 0 or epoch == a.stop_epoch:
             ckpt.save_checkpoint(ckpt_dir, epoch, {"epoch": epoch, "params": params, "stats": stats,

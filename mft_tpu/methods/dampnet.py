@@ -26,7 +26,16 @@ drivers is ``dampnet_full_class``, finetune.py:448-449):
   source prototypes, then fc+GNN scoring (dampnet_full_class.py:262-352),
   the 100-epoch linear probe on recovered 128-d projections
   (``set_forward_adaptation_full`` :471-548), and the unsupervised-stats
-  variant ``set_forward_unsup`` (:355-402).
+  variant ``set_forward_unsup`` (:355-402),
+* the PROTOTYPE variant (``--method dampnet``, reference methods/dampnet.py,
+  live in train.py:19,155): NTN width 500, MLPs 1000->900->800->feat, a
+  rolling ``store_len``-episode store of clean feature means/raw support
+  features whose statistics drive the training-time recovery
+  (dampnet.py:24-26,133-136,147-148), mean-centered + L2-normalized
+  projections before the GNN (:125-129), fixed corruption constants
+  (:140-146), no head freezing on corruption steps, and the
+  plain/odd-corrupt/even-recover call_count schedule starting at 150
+  (:54,95-138).  Stores and call_count are explicit state.
 
 All functions take backbone *features* — the drivers compute embeddings
 first, exactly as ``train_loop_full`` does (dampnet_full_class.py:443).
@@ -62,11 +71,35 @@ class DampNetCfg(NamedTuple):
     gnn_nf: int = 96
     ntn_dim: int = 300  # 500 in the prototype dampnet.py variant
     mlp_hidden: int = 500
+    #: second MLP hidden width; None = mlp_hidden (the full/full_class MLPs
+    #: are h->h; the prototype's are 900->800, dampnet.py:40-45)
+    mlp_hidden2: int = None
     stat: str = "class"  # 'class' (dampnet_full_class) | 'support' (dampnet_full)
+    #: 'full' = the dampnet_full/_class family; 'prototype' = the original
+    #: methods/dampnet.py variant: rolling 20-episode prototype store,
+    #: mean-centered + L2-normalized projections before the GNN, fixed
+    #: corruption constants, no head freezing on corruption steps
+    variant: str = "full"
+    store_len: int = 20  # rolling store length (dampnet.py:24)
+
+    @property
+    def h2(self) -> int:
+        return self.mlp_hidden if self.mlp_hidden2 is None else self.mlp_hidden2
 
     @property
     def gnn_cfg(self) -> GnnNetCfg:
         return GnnNetCfg(self.feat_dim, self.n_way, self.n_support, self.gnn_dim, self.gnn_nf)
+
+
+def prototype_cfg(feat_dim: int = 512, n_way: int = 5, n_support: int = 5) -> DampNetCfg:
+    """The ``--method dampnet`` prototype variant (reference methods/dampnet.py:
+    NTN width 500 (:32-36), MLPs 1000->900->800->feat (:40-45), support-stat
+    std, rolling 20-episode store)."""
+    return DampNetCfg(
+        feat_dim=feat_dim, n_way=n_way, n_support=n_support,
+        ntn_dim=500, mlp_hidden=900, mlp_hidden2=800, stat="support",
+        variant="prototype",
+    )
 
 
 def _bilinear_init(key, f: int, out: int, dtype=jnp.float32):
@@ -86,7 +119,7 @@ def init_dampnet(key, cfg: DampNetCfg, dtype=jnp.float32):
     from mft_tpu.methods.gnnnet import init_head
 
     ks = jax.random.split(key, 12)
-    f, n, h = cfg.feat_dim, cfg.ntn_dim, cfg.mlp_hidden
+    f, n, h, h2 = cfg.feat_dim, cfg.ntn_dim, cfg.mlp_hidden, cfg.h2
     head = init_head(ks[0], cfg.gnn_cfg, dtype)
     params = {
         "fc": head["fc"],
@@ -96,17 +129,24 @@ def init_dampnet(key, cfg: DampNetCfg, dtype=jnp.float32):
         "W_R_std": _bilinear_init(ks[3], f, n, dtype),
         "V_R_std": torch_linear(ks[4], 2 * f, n, dtype),
         "layer1": torch_linear(ks[5], 2 * n, h, dtype),
-        "layer2": torch_linear(ks[6], h, h, dtype),
-        "layer3": torch_linear(ks[7], h, f, dtype),
+        "layer2": torch_linear(ks[6], h, h2, dtype),
+        "layer3": torch_linear(ks[7], h2, f, dtype),
         "layer1_add": torch_linear(ks[8], 2 * n, h, dtype),
-        "layer2_add": torch_linear(ks[9], h, h, dtype),
-        "layer3_add": torch_linear(ks[10], h, f, dtype),
+        "layer2_add": torch_linear(ks[9], h, h2, dtype),
+        "layer3_add": torch_linear(ks[10], h2, f, dtype),
     }
     state = {
         "proto_mean": jnp.zeros((f,), dtype),
         "proto_std": jnp.zeros((f,), dtype),
         "initialized": jnp.zeros((), jnp.bool_),
     }
+    if cfg.variant == "prototype":
+        # rolling stores of the last ``store_len`` training episodes' clean
+        # feature means and raw support features (dampnet.py:24-26); indexed
+        # by call_count % store_len, call_count starts at 150 (:54)
+        state["store_mean"] = jnp.zeros((cfg.store_len, f), dtype)
+        state["store_std"] = jnp.zeros((cfg.store_len, cfg.n_way * cfg.n_support, f), dtype)
+        state["count"] = jnp.full((), 150, jnp.int32)
     return params, state
 
 
@@ -114,6 +154,7 @@ def update_prototypes(state, all_feats: jnp.ndarray):
     """``get_all_feat``: prototypes = mean/std over a [N, feat] source bank
     (dampnet_full_class.py:90-95; torch .std default = unbiased)."""
     return {
+        **state,
         "proto_mean": jnp.mean(all_feats, axis=0),
         "proto_std": jnp.std(all_feats, axis=0, ddof=1),
         "initialized": jnp.ones((), jnp.bool_),
@@ -149,14 +190,67 @@ def recovery(params, state, x_mean: jnp.ndarray, x_std: jnp.ndarray):
     return mult, add
 
 
-def sample_corruption(key, x: jnp.ndarray, feat_dim: int):
+def znorm_projection(z: jnp.ndarray, n_support: int) -> jnp.ndarray:
+    """The prototype variant's projection normalization (dampnet.py:125-129):
+    subtract the mean of the support projections (over all classes), then
+    L2-normalize each node.  z: [n_way, slots, proj]."""
+    z = z - jnp.mean(z[:, :n_support], axis=(0, 1), keepdims=True)
+    return z / jnp.linalg.norm(z, axis=2, keepdims=True)
+
+
+def store_prototypes(state):
+    """Training-time prototypes from the rolling store (dampnet.py:147-148,
+    211-212): mean of the stored episode means; torch ``.std(axis=(0,1))``
+    (unbiased over all stored support features) for the std."""
+    f = state["store_mean"].shape[-1]
+    pm = jnp.mean(state["store_mean"], axis=0)
+    ps = jnp.std(state["store_std"].reshape(-1, f), axis=0, ddof=1)
+    return pm, ps
+
+
+def update_prototype_store(state, banks: jnp.ndarray):
+    """Rotate an episode batch of clean support-feature banks
+    ``[E, n_way*n_support, feat]`` into the rolling store
+    (dampnet.py:133-136,205-208,245-248) and advance call_count.
+
+    With E > 1 the batch writes E consecutive slots in one scatter (the
+    reference is strictly serial; duplicate slots for E > store_len would
+    resolve arbitrarily — keep episode_batch <= store_len)."""
+    e = banks.shape[0]
+    idx = (state["count"] + jnp.arange(e)) % state["store_mean"].shape[0]
+    return {
+        **state,
+        "store_mean": state["store_mean"].at[idx].set(banks.mean(axis=1)),
+        "store_std": state["store_std"].at[idx].set(banks),
+        "count": state["count"] + e,
+    }
+
+
+def prototype_training_mode(count: int) -> str:
+    """The prototype variant's schedule (dampnet.py:54,95-138: call_count
+    starts at 150; the first call scores plainly, then odd counts corrupt
+    and even counts recover)."""
+    if count == 150:
+        return "plain"
+    return "corrupt" if count % 2 == 1 else "recover"
+
+
+def sample_corruption(key, x: jnp.ndarray, feat_dim: int, *, fixed_consts: bool = False):
     """Random diagonal + t-distributed corruption of a [N, f] feature matrix
-    (dampnet_full_class.py:146-174), with masked fixed-size scatters."""
+    (dampnet_full_class.py:146-174), with masked fixed-size scatters.
+
+    ``fixed_consts``: the prototype variant pins perc=0.6, perc_zeros=0.3,
+    m_fac=1.5 instead of sampling them (dampnet.py:140-146)."""
     f = feat_dim
     ks = jax.random.split(key, 9)
-    perc = jax.random.uniform(ks[0], (), minval=0.1, maxval=0.9)
-    perc_zeros = jax.random.uniform(ks[1], (), minval=0.1, maxval=0.9)
-    m_fac = jax.random.uniform(ks[2], (), minval=1.5, maxval=5.0)
+    if fixed_consts:
+        perc = jnp.asarray(0.6)
+        perc_zeros = jnp.asarray(0.3)
+        m_fac = jnp.asarray(1.5)
+    else:
+        perc = jax.random.uniform(ks[0], (), minval=0.1, maxval=0.9)
+        perc_zeros = jax.random.uniform(ks[1], (), minval=0.1, maxval=0.9)
+        m_fac = jax.random.uniform(ks[2], (), minval=1.5, maxval=5.0)
 
     # diagonal mask: floor(f * perc_zeros) random positions zeroed
     n_zeros = jnp.floor(f * perc_zeros).astype(jnp.int32)
@@ -187,7 +281,8 @@ def _fc_gnn_scores(params, z_episode: jnp.ndarray, cfg: DampNetCfg, n_query: int
     head = {"fc": params["fc"], "gnn": params["gnn"]}
     if freeze_head:
         head = jax.lax.stop_gradient(head)
-    return gnn_scores(head, z_episode, cfg.gnn_cfg, n_query)
+    zt = (lambda z: znorm_projection(z, cfg.n_support)) if cfg.variant == "prototype" else None
+    return gnn_scores(head, z_episode, cfg.gnn_cfg, n_query, z_transform=zt)
 
 
 def dampnet_scores(
@@ -225,16 +320,27 @@ def dampnet_scores(
         x_mean, x_std = episode_stats(feats_episode, cfg)
         x_mean, x_std = jax.lax.stop_gradient(x_mean), jax.lax.stop_gradient(x_std)
 
+    proto = cfg.variant == "prototype"
+    if proto and mode in ("corrupt", "recover"):
+        # training recovery compares against the rolling-store prototypes
+        # (dampnet.py:147-148,211-212), not the fixed eval ones
+        pm, ps = store_prototypes(state)
+        src_state = dict(state, proto_mean=pm, proto_std=ps)
+    else:
+        src_state = state
+
     if mode == "corrupt":
         assert key is not None
-        corrupt = sample_corruption(key, flat, f)
+        corrupt = sample_corruption(key, flat, f, fixed_consts=proto)
         c_episode = corrupt.reshape(n_way, slots, f)
         c_mean, c_std = episode_stats(c_episode, cfg._replace(stat="support"))
-        mult, add = recovery(params, state, jax.lax.stop_gradient(c_mean), jax.lax.stop_gradient(c_std))
+        mult, add = recovery(params, src_state, jax.lax.stop_gradient(c_mean), jax.lax.stop_gradient(c_std))
         recovered = corrupt * mult + add
-        return _fc_gnn_scores(params, recovered.reshape(n_way, slots, f), cfg, n_query, freeze_head=True)
+        # the full family freezes fc/gnn on corruption steps
+        # (dampnet_full.py:187-189); the prototype variant does not
+        return _fc_gnn_scores(params, recovered.reshape(n_way, slots, f), cfg, n_query, freeze_head=not proto)
 
-    mult, add = recovery(params, state, x_mean, x_std)
+    mult, add = recovery(params, src_state, x_mean, x_std)
     recovered = flat * mult + add
     return _fc_gnn_scores(params, recovered.reshape(n_way, slots, f), cfg, n_query, freeze_head=False)
 

@@ -73,17 +73,24 @@ def project(head, z_flat: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
-def gnn_scores(head, z_episode: jnp.ndarray, cfg: GnnNetCfg, n_query: int) -> jnp.ndarray:
+def gnn_scores(head, z_episode: jnp.ndarray, cfg: GnnNetCfg, n_query: int, z_transform=None) -> jnp.ndarray:
     """Score an episode from backbone features.
 
     z_episode: [n_way, n_support + n_query, feat_dim] (support-first slots,
     reference meta_template.py:44-45).  Returns [n_way * n_query, n_way].
+
+    ``z_transform``: optional hook applied to the projected
+    ``[n_way, slots, proj]`` tensor before the graph build — the DampNet
+    prototype variant mean-centers + L2-normalizes here
+    (reference methods/dampnet.py:125-129).
     """
     n_way, slots, _ = z_episode.shape
     assert n_way == cfg.n_way and slots == cfg.n_support + n_query
 
     z = project(head, z_episode.reshape(n_way * slots, -1))
     z = z.reshape(n_way, slots, cfg.proj_dim)
+    if z_transform is not None:
+        z = z_transform(z)
 
     zs = z[:, : cfg.n_support]  # [n_way, n_support, proj]
     if cfg.support_compress > 1:

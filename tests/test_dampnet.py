@@ -97,6 +97,82 @@ def test_training_mode_schedule():
     assert dn.training_mode(1, True) == "corrupt"
 
 
+PCFG = dn.prototype_cfg(feat_dim=32, n_way=3, n_support=2)._replace(ntn_dim=8, mlp_hidden=16, mlp_hidden2=12, store_len=4)
+
+
+@functools.lru_cache(maxsize=None)
+def _proto_model():
+    return jax.jit(lambda k: dn.init_dampnet(k, PCFG))(jax.random.PRNGKey(1))
+
+
+def test_znorm_projection_matches_reference_math():
+    """dampnet.py:125-129: subtract the all-class support-projection mean,
+    then L2-normalize each node."""
+    z = np.random.RandomState(8).randn(3, 4, 16).astype(np.float32)
+    out = np.asarray(dn.znorm_projection(jnp.asarray(z), n_support=2))
+    ref = z - z[:, :2].mean(axis=(0, 1), keepdims=True)
+    ref = ref / np.linalg.norm(ref, axis=2, keepdims=True)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=2), 1.0, atol=1e-5)
+
+
+def test_prototype_store_rotation():
+    """Rolling store (dampnet.py:24-26,133-136): rows written at
+    call_count % store_len, call_count advances, old rows overwritten."""
+    _, state = _proto_model()
+    assert int(state["count"]) == 150  # dampnet.py:54
+    rs = np.random.RandomState(9)
+    b1 = jnp.asarray(rs.randn(2, 6, 32).astype(np.float32))  # E=2 episodes
+    s1 = dn.update_prototype_store(state, b1)
+    assert int(s1["count"]) == 152
+    # 150 % 4 == 2, 151 % 4 == 3
+    np.testing.assert_allclose(np.asarray(s1["store_std"][2]), np.asarray(b1[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1["store_mean"][3]), np.asarray(b1[1]).mean(0), rtol=1e-5)
+    b2 = jnp.asarray(rs.randn(3, 6, 32).astype(np.float32))
+    s2 = dn.update_prototype_store(s1, b2)
+    # 152,153,154 % 4 -> slots 0,1,2: slot 2 (episode b1[0]) is overwritten
+    np.testing.assert_allclose(np.asarray(s2["store_std"][2]), np.asarray(b2[2]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2["store_std"][3]), np.asarray(b1[1]), rtol=1e-6)
+    # training prototypes derive from the store: mean of means + unbiased std
+    pm, ps = dn.store_prototypes(s2)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(s2["store_mean"]).mean(0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ps), np.asarray(s2["store_std"]).reshape(-1, 32).std(0, ddof=1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_prototype_training_mode_schedule():
+    """dampnet.py:54,95-138: first call (count 150) plain; then odd counts
+    corrupt, even counts recover."""
+    assert dn.prototype_training_mode(150) == "plain"
+    assert dn.prototype_training_mode(151) == "corrupt"
+    assert dn.prototype_training_mode(152) == "recover"
+    assert dn.prototype_training_mode(153) == "corrupt"
+
+
+def test_prototype_variant_scores_and_gradients():
+    params, state = _proto_model()
+    # fill the store so training-time prototypes are well-defined
+    state = dn.update_prototype_store(state, jnp.asarray(np.random.RandomState(10).randn(4, 6, 32).astype(np.float32)))
+    state = dn.update_prototypes(state, jnp.asarray(np.random.RandomState(11).randn(40, 32).astype(np.float32)))
+    feats = _feats()
+    for mode in ["plain", "recover", "domain_shift"]:
+        s = jax.jit(lambda p, st, f, m=mode: dn.dampnet_scores(p, st, f, PCFG, 2, mode=m))(params, state, feats)
+        assert s.shape == (6, 3) and np.isfinite(np.asarray(s)).all()
+
+    def loss(p, mode):
+        kw = {"key": jax.random.PRNGKey(3)} if mode == "corrupt" else {}
+        s = dn.dampnet_scores(p, state, feats, PCFG, 2, mode=mode, **kw)
+        return dn.dampnet_loss(s, 3, 2)
+
+    # the prototype variant does NOT freeze fc/gnn on corruption steps
+    # (no requires_grad toggles in reference dampnet.py, unlike
+    # dampnet_full.py:187-189)
+    g_corrupt = jax.jit(jax.grad(lambda p: loss(p, "corrupt")))(params)
+    assert float(jnp.abs(g_corrupt["fc"]["linear"]["w"]).max()) > 0.0
+    assert float(jnp.abs(g_corrupt["layer1"]["w"]).max()) > 0.0
+
+
 def test_recovered_projection_shape():
     params, state = _model()
     state = dn.update_prototypes(state, jnp.asarray(np.random.RandomState(7).randn(40, 32).astype(np.float32)))

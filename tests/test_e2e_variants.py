@@ -129,3 +129,28 @@ def test_dampnet_train_and_eval(save_dir, capsys):
                       "--save_iter", "1", "--iter_num", "2", "--eval_batch", "2",
                       "--gen_examples", "1", "--fine_tune_epoch", "1"])
     assert "Test Acc" in capsys.readouterr().out
+
+
+def test_dampnet_prototype_variant_train_and_eval(save_dir, capsys):
+    """--method dampnet = the prototype variant (reference methods/dampnet.py,
+    dispatchable from train.py:155): rolling store + znorm projections."""
+    from mft_tpu.cli import finetune as ft
+    from mft_tpu.cli import train as tr
+
+    tr.main(COMMON + ["--method", "dampnet", "--n_shot", "2", "--stop_epoch", "1",
+                      "--save_freq", "1", "--episodes_per_epoch", "3"])
+    d = save_dir / "checkpoints" / "synthetic" / "ResNet10_dampnet_5way_2shot"
+    assert os.path.exists(d / "1.ckpt")
+    # the rolling store advanced past its 150 start (3 episodes x 2 epochs)
+    import flax.serialization as ser
+
+    with open(d / "1.ckpt", "rb") as f:
+        raw = ser.msgpack_restore(f.read())
+    assert int(raw["damp_state"]["count"]) == 156
+    assert raw["damp_state"]["store_mean"].shape[0] == 20
+
+    ft.main(COMMON + ["--method", "dampnet", "--test_dataset", "synthetic", "--n_shot", "2",
+                      "--save_iter", "1", "--iter_num", "2", "--eval_batch", "2",
+                      "--gen_examples", "1", "--fine_tune_epoch", "1"])
+    out = capsys.readouterr().out
+    assert "dampnet source prototypes computed" in out and "Test Acc" in out
