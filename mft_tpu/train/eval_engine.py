@@ -164,6 +164,7 @@ def _adapt_block(
     perm_span: Optional[int] = None,
     bank_x: Optional[jnp.ndarray] = None,
     fmap_bank: Optional[jnp.ndarray] = None,
+    schedule=None,
 ):
     """Fine-tune the final block (and optional linear head) on a bank.
 
@@ -225,7 +226,7 @@ def _adapt_block(
             feats = features_of(p, idx, w)
             return ce_loss(feats, bank_y[idx], w)
 
-        adapted = inner_fit(loss_fn, block_p, tx, key, icfg)
+        adapted = inner_fit(loss_fn, block_p, tx, key, icfg, schedule=schedule)
         return adapted, None
 
     # linear member: CE through the classifier; block + head train unless
@@ -255,7 +256,7 @@ def _adapt_block(
         logits = classifier_logits(p["head"], feats)
         return ce_loss(logits, bank_y[idx], w)
 
-    adapted = inner_fit(loss_fn, p0, tx, key, icfg)
+    adapted = inner_fit(loss_fn, p0, tx, key, icfg, schedule=schedule)
     return adapted["adapt"], adapted["head"]
 
 
@@ -307,9 +308,13 @@ def gnn_member_scores(
     tcfg: TransferCfg,
     aug_cfg=None,
     gen_examples: int = 0,
+    inner_schedule=None,
 ):
     """finetune() with the GNN head (finetune.py:182-328) -> softmax scores
     [n_way*n_query, n_way].
+
+    ``inner_schedule``: explicit (idx, w) minibatch schedule (golden parity
+    replay — see inner_loop.schedule_from_perms).
 
     ``support_bank``: raw base-res support (fast path, replicas generated on
     the fly from ``k_aug``) or materialized replicas with replica 0 = clean
@@ -329,7 +334,7 @@ def gnn_member_scores(
     adapted_block, _ = _adapt_block(
         backbone_params, backbone_stats, bank_y, k_fit,
         bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
-        fmap_bank=fmap_bank, bank_x=bank_x,
+        fmap_bank=fmap_bank, bank_x=bank_x, schedule=inner_schedule,
     )
     trunk_p, _ = bb.adapt_split(backbone_params)
     full = bb.adapt_merge(trunk_p, adapted_block)
@@ -351,15 +356,21 @@ def linear_member_scores(
     tcfg: TransferCfg,
     aug_cfg=None,
     gen_examples: int = 0,
+    inner_schedule=None,
+    head0=None,
 ):
     """finetune_linear (finetune.py:45-174) -> softmax scores.
 
     Reproduces the reference quirk of building the full augmented bank but
     permuting/training over only the first ``support_size`` rows (the clean
     support), for ``linear_epochs`` epochs — the fast path therefore never
-    builds the augmented groups at all (``clean_only``)."""
+    builds the augmented groups at all (``clean_only``).
+
+    ``inner_schedule``/``head0``: explicit minibatch schedule / classifier
+    init (golden parity replay against the torch reference)."""
     k_head, k_fit = jax.random.split(k_fit)
-    head0 = init_classifier(k_head, bcfg.feat_dim, spec.n_way, zero_bias=False)
+    if head0 is None:
+        head0 = init_classifier(k_head, bcfg.feat_dim, spec.n_way, zero_bias=False)
     fmap_bank, bank_x, n_rep = _member_bank(
         backbone_params, backbone_stats, support_bank, k_aug,
         bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples, clean_only=True,
@@ -368,7 +379,7 @@ def linear_member_scores(
     adapted_block, adapted_head = _adapt_block(
         backbone_params, backbone_stats, bank_y, k_fit,
         bcfg=bcfg, tcfg=tcfg, epochs=tcfg.linear_epochs, head=head0,
-        perm_span=spec.support_size, fmap_bank=fmap_bank, bank_x=bank_x,
+        perm_span=spec.support_size, fmap_bank=fmap_bank, bank_x=bank_x, schedule=inner_schedule,
     )
     trunk_p, _ = bb.adapt_split(backbone_params)
     full = bb.adapt_merge(trunk_p, adapted_block)

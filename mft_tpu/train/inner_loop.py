@@ -72,6 +72,22 @@ def minibatch_schedule(key, cfg: InnerLoopCfg):
     return idx, w
 
 
+def schedule_from_perms(perms, cfg: InnerLoopCfg):
+    """(idx, w) for :func:`inner_fit` from EXPLICIT per-epoch permutations
+    ``[epochs, bank_size]`` — lets the golden parity tests replay the torch
+    reference's recorded ``np.random.permutation`` minibatch order
+    (finetune.py:140,272) through the scan engine."""
+    perms = jnp.asarray(perms)
+    assert perms.shape == (cfg.epochs, cfg.bank_size)
+    pad = cfg.padded - cfg.bank_size
+    if pad:
+        perms = jnp.pad(perms, ((0, 0), (0, pad)))  # pad rows get weight 0
+    idx = perms.reshape(cfg.n_steps, cfg.batch_size)
+    pos = jnp.arange(cfg.padded).reshape(cfg.steps_per_epoch, cfg.batch_size)
+    w = jnp.tile((pos < cfg.bank_size).astype(jnp.float32), (cfg.epochs, 1))
+    return idx, w
+
+
 def inner_fit(
     loss_fn: Callable,
     params,
@@ -79,19 +95,23 @@ def inner_fit(
     key,
     cfg: InnerLoopCfg,
     *aux,
+    schedule=None,
 ):
     """Run the adaptation loop and return the adapted parameters.
 
     ``loss_fn(params, idx, weights, *aux) -> scalar`` computes the masked
     minibatch loss; it owns the bank and gathers rows by ``idx`` itself (this
     lets callers gather images, precomputed features, or both).
+
+    ``schedule``: optional explicit ``(idx, w)`` (see
+    :func:`schedule_from_perms`) overriding the key-derived permutations.
     """
     if cfg.epochs == 0:
         # degenerate schedule: no adaptation.  Returning early also avoids a
         # zero-length scan whose dead subgraph has been observed to perturb
         # the SPMD partitioner (XLA CPU) — see tests/test_parallel.py.
         return params
-    idx_all, w_all = minibatch_schedule(key, cfg)
+    idx_all, w_all = schedule if schedule is not None else minibatch_schedule(key, cfg)
     opt_state = tx.init(params)
     grad_fn = jax.grad(loss_fn)
 
