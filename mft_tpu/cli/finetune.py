@@ -194,7 +194,8 @@ def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
 
     e_batch = a.eval_batch
     mesh = pmesh.make_mesh(n_data=math.gcd(e_batch, len(jax.devices())))
-    stream = EpisodeStream(manifest, spec, a.iter_num, base_size=a.base_size, seed=a.seed)
+    stream = EpisodeStream(manifest, spec, a.iter_num, base_size=a.base_size, seed=a.seed,
+                           cache_dir=a.episode_cache)
 
     acc_all = []
     key = jax.random.PRNGKey(a.seed)

@@ -174,7 +174,8 @@ def run_episodic(a, manifest, aug_cfg, bcfg, gcfg, spec, params, stats, tx, opt_
 
     n_steps = max(1, a.episodes_per_epoch // e_batch)
     for epoch in range(start_epoch, a.stop_epoch + 1):
-        stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch)
+        stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch,
+                               cache_dir=a.episode_cache)
         meter = AverageMeter()
         it = iter(stream)
         t_data = t_step = 0.0
@@ -220,7 +221,8 @@ def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_s
 
     n_steps = max(1, a.episodes_per_epoch // e_batch)
     for epoch in range(start_epoch, a.stop_epoch + 1):
-        stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch)
+        stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch,
+                               cache_dir=a.episode_cache)
         meter = AverageMeter()
         it = iter(stream)
         epoch_bank = []

@@ -109,6 +109,9 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--seed", default=10, type=int, help="reference seed discipline (train.py:69)")
     parser.add_argument("--paths_json", default=None)
     parser.add_argument("--trace_dir", default=None, help="jax.profiler trace output dir")
+    parser.add_argument("--episode_cache", default=None,
+                        help="dir for the decoded-episode uint8 cache (keyed by dataset/spec/seed/"
+                             "resolution): repeat evals skip image decode entirely")
     parser.add_argument("--use_pallas", action="store_true", help="fused Pallas edge kernel in the GNN head")
 
     if script == "train":

@@ -69,6 +69,15 @@ class EpisodeStream:
     images: uint8 ``[n_way, n_support+n_query, base, base, 3]``.
     Decoding is parallelized over a thread pool and the next episode is
     prefetched while the device crunches the current one.
+
+    ``cache_dir``: persist each decoded episode as a uint8 ``.npy`` keyed by
+    (manifest content, spec, episode count, seed, base resolution) so repeat
+    evals skip PIL entirely — the 600-episode eval decodes once, ever.  The
+    reference re-decodes every image ``gen_examples+2`` = 19 times per run
+    on a single thread (datasets/CropDisease_few_shot.py:351-353); here even
+    the first run decodes once, and cached re-runs stream straight from the
+    page cache at device rate.  Writes are atomic (tmp + rename), partial
+    caches are resumed per-episode.
     """
 
     def __init__(
@@ -81,6 +90,7 @@ class EpisodeStream:
         seed: int = 10,
         workers: int = 16,
         prefetch: int = 2,
+        cache_dir: str | None = None,
     ):
         self.manifest = manifest
         self.spec = spec
@@ -91,14 +101,43 @@ class EpisodeStream:
         # one persistent decode pool for the stream's lifetime (a fresh pool
         # per episode churns worker threads on the hot input path)
         self._decode_pool = cf.ThreadPoolExecutor(self.workers)
+        self._cache_path = None
+        if cache_dir:
+            key = self._cache_key(manifest, spec, n_episodes, seed, base_size)
+            self._cache_path = os.path.join(cache_dir, key)
+            os.makedirs(self._cache_path, exist_ok=True)
+
+    @staticmethod
+    def _cache_key(manifest: Manifest, spec: EpisodeSpec, n: int, seed: int, base_size: int) -> str:
+        """Content key: any change to the file list, labels, episode
+        geometry, seed, or decode resolution invalidates the cache."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for it in manifest.items:
+            h.update(b"<array>" if isinstance(it, np.ndarray) else str(it).encode())
+        h.update(np.asarray(manifest.labels).tobytes())
+        h.update(f"|{spec}|{n}|{seed}|{base_size}".encode())
+        return h.hexdigest()[:20]
 
     def _load(self, i: int):
         ep = self.sampler.episode(i)
+        if self._cache_path is not None:
+            f = os.path.join(self._cache_path, f"ep{i:05d}.npy")
+            if os.path.exists(f):
+                try:
+                    return np.load(f), ep.classes
+                except Exception:
+                    pass  # torn write from a crashed run: fall through, re-decode
         flat = ep.items.reshape(-1)
         imgs = list(self._decode_pool.map(lambda j: decode_image(self.manifest.items[j], self.base_size), flat))
         images = np.stack(imgs).reshape(
             self.spec.n_way, self.spec.n_per_class, self.base_size, self.base_size, 3
         )
+        if self._cache_path is not None:
+            tmp = f"{f}.{os.getpid()}.tmp.npy"
+            np.save(tmp, images)
+            os.replace(tmp, f)
         return images, ep.classes
 
     def __len__(self):

@@ -108,6 +108,34 @@ def test_episode_stream_shapes(tmp_path):
     assert classes.shape == (3,)
 
 
+def test_episode_stream_cache_roundtrip(tmp_path):
+    """The decoded-episode cache returns byte-identical episodes on re-runs
+    (decode skipped entirely) and invalidates on any key change."""
+    _make_image_tree(tmp_path / "imgs", n_classes=5, per_class=8)
+    m = mf.image_folder(str(tmp_path / "imgs"))
+    spec = EpisodeSpec(3, 2, 2)
+    cache = str(tmp_path / "epcache")
+    kw = dict(base_size=48, workers=4, cache_dir=cache)
+
+    first = list(EpisodeStream(m, spec, n_episodes=3, **kw))
+    key_dirs = os.listdir(cache)
+    assert len(key_dirs) == 1
+    files = sorted(os.listdir(os.path.join(cache, key_dirs[0])))
+    assert files == ["ep00000.npy", "ep00001.npy", "ep00002.npy"]
+
+    # cached pass: identical bytes even if the source images vanish
+    for f in os.listdir(tmp_path / "imgs" / "class_00"):
+        os.remove(tmp_path / "imgs" / "class_00" / f)
+    second = list(EpisodeStream(m, spec, n_episodes=3, **kw))
+    for (a, ca), (b, cb) in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(ca, cb)
+
+    # a different seed/resolution keys a different cache dir
+    EpisodeStream(m, spec, n_episodes=3, base_size=48, workers=4, seed=99, cache_dir=cache)
+    assert len(os.listdir(cache)) == 2
+
+
 def test_batch_stream(tmp_path):
     _make_image_tree(tmp_path, n_classes=2, per_class=5)
     m = mf.image_folder(str(tmp_path))

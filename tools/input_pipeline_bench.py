@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--workers", type=int, default=16)
     ap.add_argument("--keep", default=None, help="keep the JPEG tree at this path")
     ap.add_argument("--finetune", action="store_true", help="also drive cli.finetune end to end")
+    ap.add_argument("--cache", action="store_true",
+                    help="measure the decoded-episode cache: cold pass (decode+persist) then warm pass")
     a = ap.parse_args()
 
     root = a.keep or tempfile.mkdtemp(prefix="mft_jpegs_")
@@ -69,6 +71,17 @@ def main():
         count += 1
     dt = time.perf_counter() - t0
     print(f"decode throughput: {count/dt:.2f} episodes/sec ({count*100/dt:.0f} images/sec, {a.workers} threads)")
+
+    if a.cache:
+        cache_dir = tempfile.mkdtemp(prefix="mft_epcache_")
+        for label in ("cold (decode + persist)", "warm (cache hit, no PIL)"):
+            s = EpisodeStream(man, spec, a.episodes, base_size=a.base_size, workers=a.workers,
+                              cache_dir=cache_dir)
+            t0 = time.perf_counter()
+            n_done = sum(1 for _ in s)
+            dt = time.perf_counter() - t0
+            print(f"episode cache {label}: {n_done/dt:.2f} episodes/sec")
+        shutil.rmtree(cache_dir, ignore_errors=True)
 
     if a.finetune:
         # end-to-end: meta-train 1 tiny checkpoint on the JPEGs, then run the
