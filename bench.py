@@ -65,7 +65,10 @@ def main():
     bcfg_ref = bb.resnet10()
     gcfg = gn.GnnNetCfg(feat_dim=512, n_way=5, n_support=5)
     gen_examples = 17
-    eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "8"))
+    # eval_batch=4 is the measured optimum (r3 sweep: 2->14.9, 4->16.0,
+    # 6->15.1, 8->15.2, 12->14.1, 16->13.2 eps/s): the scans are HBM-bound,
+    # so lanes beyond the bandwidth saturation knee only add contention
+    eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "4"))
     n_measure = int(os.environ.get("BENCH_EPISODES", "32"))
     n_serial = int(os.environ.get("BENCH_SERIAL_EPISODES", "20"))
 
@@ -89,6 +92,7 @@ def main():
         inner_param_dtype=os.environ.get("BENCH_INNER_PARAM_DTYPE", "bfloat16"),
         inner_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         inner_gather=os.environ.get("BENCH_INNER_GATHER", "step"),
+        inner_carry=os.environ.get("BENCH_INNER_CARRY", "tree"),
     )
     program = ee.make_eval_program(
         method="all", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples
@@ -167,7 +171,8 @@ def main():
     # decode-once uint8 feed overlaps compute, and the decoded-episode cache
     # makes re-runs decode-free).
     ref_decode_s = float(os.environ.get("BENCH_REF_DECODE_S", "6.6"))
-    ref_e2e_s_per_ep = 1.0 / eps_serial + ref_decode_s
+    have_serial = n_serial > 0 and np.isfinite(eps_serial)
+    ref_e2e_s_per_ep = (1.0 / eps_serial if have_serial else 0.0) + ref_decode_s
     vs_e2e = eps_fast * ref_e2e_s_per_ep
     # v4-8 north-star extrapolation: the eval program is embarrassingly
     # episode-parallel (no inter-chip collectives; sharded execution
@@ -180,9 +185,9 @@ def main():
                 "metric": "episodes/sec (5-way 5-shot method=all eval, gen_examples=17, fine_tune_epoch=5)",
                 "value": round(eps_fast, 3),
                 "unit": "episodes/sec",
-                "vs_baseline": round(eps_fast / eps_serial, 2),
-                "vs_reference_e2e": round(vs_e2e, 1),
-                "serial_eps": round(eps_serial, 3),
+                "vs_baseline": round(eps_fast / eps_serial, 2) if have_serial else None,
+                "vs_reference_e2e": round(vs_e2e, 1) if have_serial else None,
+                "serial_eps": round(eps_serial, 3) if have_serial else None,
                 "ref_decode_s_per_episode": ref_decode_s,
                 "wallclock_600_s": round(600.0 / eps_fast, 1),
                 "eps_v4_8_extrapolated": round(eps_fast * n_extrap, 1),

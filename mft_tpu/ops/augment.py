@@ -54,12 +54,16 @@ class AugmentCfg(NamedTuple):
     vflip: bool = False
 
 
-def to_float(images: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [0,255] -> float32 [0,1] on device (host->device transport stays
-    uint8: 4x less PCIe/ICI traffic than shipping decoded floats)."""
+def to_float(images: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 [0,255] -> float [0,1] on device (host->device transport stays
+    uint8: 4x less PCIe/ICI traffic than shipping decoded floats).
+
+    ``dtype=bfloat16`` halves every augment-pipeline tensor: bf16's ~3
+    decimal digits of [0,1] precision (~0.004) equals the uint8 source
+    quantization step (1/255), so nothing real is lost."""
     if images.dtype == jnp.uint8:
-        return images.astype(jnp.float32) / 255.0
-    return images
+        return images.astype(dtype) / jnp.asarray(255.0, dtype)
+    return images.astype(dtype) if images.dtype != dtype else images
 
 
 def normalize(x: jnp.ndarray) -> jnp.ndarray:
@@ -98,18 +102,34 @@ def _sample_crop(key, h: int, w: int, cfg: AugmentCfg):
     return top, left, ch, cw
 
 
-def _crop_resize(image: jnp.ndarray, top, left, ch, cw, size: int) -> jnp.ndarray:
+def _crop_resize(image: jnp.ndarray, top, left, ch, cw, size: int, flip_h=None, flip_v=None) -> jnp.ndarray:
     """Bilinear resize of a dynamic crop box to a static ``size`` square via
-    one affine warp (scale_and_translate: in = (out+0.5-t)/s - 0.5)."""
+    one affine warp (scale_and_translate: in = (out+0.5-t)/s - 0.5).
+
+    ``flip_h``/``flip_v`` (traced bools) fold the random flips into the
+    warp's scale/translation SCALARS — a mirrored gather costs nothing,
+    whereas a post-hoc ``where(flip, img[:, ::-1], img)`` materializes a
+    full reversed copy plus a select per image (measured ~31 ms per
+    8-episode eval batch in the bank fan-out, docs/PERF.md r3).  Exactness
+    of the fold (vs reversing the output) is pinned in tests; it requires
+    ``antialias=False`` — non-antialiased bilinear, the same class of
+    documented statistical deviation from PIL as draft decode."""
     sy = size / ch
     sx = size / cw
+    ty = -top * sy
+    tx = -left * sx
+    if flip_v is not None:
+        sy, ty = jnp.where(flip_v, -sy, sy), jnp.where(flip_v, size + top * sy, ty)
+    if flip_h is not None:
+        sx, tx = jnp.where(flip_h, -sx, sx), jnp.where(flip_h, size + left * sx, tx)
     return jax.image.scale_and_translate(
         image,
         (size, size, image.shape[-1]),
         (0, 1),
         jnp.stack([sy, sx]).astype(jnp.float32),
-        jnp.stack([-top * sy, -left * sx]).astype(jnp.float32),
+        jnp.stack([ty, tx]).astype(jnp.float32),
         method="bilinear",
+        antialias=False,
     )
 
 
@@ -125,9 +145,10 @@ def _enhance(img: jnp.ndarray, key, cfg: AugmentCfg) -> jnp.ndarray:
     luma = jnp.asarray(_LUMA, img.dtype)
     # Brightness: blend with black
     img = jnp.clip(img * r_b, 0.0, 1.0)
-    # Contrast: blend with the mean gray of the L image
+    # Contrast: blend with the mean gray of the L image (f32 accumulate —
+    # a 50k-element bf16 sum would lose the mean's low bits)
     gray = jnp.sum(img * luma, axis=-1, keepdims=True)
-    mean = jnp.mean(gray)
+    mean = jnp.mean(gray, dtype=jnp.float32).astype(img.dtype)
     img = jnp.clip(mean + (img - mean) * r_c, 0.0, 1.0)
     # Color: blend with the grayscale image
     gray = jnp.sum(img * luma, axis=-1, keepdims=True)
@@ -135,30 +156,32 @@ def _enhance(img: jnp.ndarray, key, cfg: AugmentCfg) -> jnp.ndarray:
     return img
 
 
-def _flips(img: jnp.ndarray, key, cfg: AugmentCfg) -> jnp.ndarray:
-    kh, kv = jax.random.split(key)
-    if cfg.hflip:
-        img = jnp.where(jax.random.bernoulli(kh), img[:, ::-1, :], img)
-    if cfg.vflip:
-        img = jnp.where(jax.random.bernoulli(kv), img[::-1, :, :], img)
-    return img
-
-
 def augment_view(key, image: jnp.ndarray, cfg: AugmentCfg) -> jnp.ndarray:
-    """One augmented, normalized view of a [H0, W0, 3] image in [0,1]."""
+    """One augmented, normalized view of a [H0, W0, 3] image in [0,1].
+
+    The random flips are folded into the crop warp (mirrored gather, zero
+    extra traffic); flip-then-jitter equals the reference's jitter-then-flip
+    exactly (ImageJitter is pointwise and its contrast mean is
+    flip-invariant)."""
     k_crop, k_jit, k_flip = jax.random.split(key, 3)
     h, w = image.shape[0], image.shape[1]
     top, left, ch, cw = _sample_crop(k_crop, h, w, cfg)
-    img = _crop_resize(image, top, left, ch, cw, cfg.image_size)
+    kh, kv = jax.random.split(k_flip)
+    flip_h = jax.random.bernoulli(kh) if cfg.hflip else None
+    flip_v = jax.random.bernoulli(kv) if cfg.vflip else None
+    img = _crop_resize(image, top, left, ch, cw, cfg.image_size, flip_h=flip_h, flip_v=flip_v)
     img = jnp.clip(img, 0.0, 1.0)
     img = _enhance(img, k_jit, cfg)
-    img = _flips(img, k_flip, cfg)
     return normalize(img)
 
 
-def augment_batch(key, images: jnp.ndarray, cfg: AugmentCfg) -> jnp.ndarray:
-    """Independent augmented views for a batch [..., H0, W0, 3] (u8 or f32)."""
-    images = to_float(images)
+def augment_batch(key, images: jnp.ndarray, cfg: AugmentCfg, dtype=jnp.float32) -> jnp.ndarray:
+    """Independent augmented views for a batch [..., H0, W0, 3] (u8 or f32).
+
+    ``dtype=bfloat16`` runs the whole fan-out at half traffic (see
+    :func:`to_float`) — the eval engine's bank precompute uses the
+    backbone's compute dtype."""
+    images = to_float(images, dtype)
     lead = images.shape[:-3]
     flat = images.reshape((-1,) + images.shape[-3:])
     keys = jax.random.split(key, flat.shape[0])
@@ -166,8 +189,8 @@ def augment_batch(key, images: jnp.ndarray, cfg: AugmentCfg) -> jnp.ndarray:
     return out.reshape(lead + out.shape[1:])
 
 
-def center_batch(images: jnp.ndarray, size: int) -> jnp.ndarray:
-    images = to_float(images)
+def center_batch(images: jnp.ndarray, size: int, dtype=jnp.float32) -> jnp.ndarray:
+    images = to_float(images, dtype)
     lead = images.shape[:-3]
     flat = images.reshape((-1,) + images.shape[-3:])
     out = jax.vmap(lambda im: center_view(im, size))(flat)

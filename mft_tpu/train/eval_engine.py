@@ -75,6 +75,14 @@ class TransferCfg(NamedTuple):
     #: permutes the feature bank once per epoch and slices contiguous
     #: minibatches (identical numerics, fewer per-step ops; fast path only)
     inner_gather: str = "step"
+    #: 'flat' ravels the adapted block (and its Adam moments) into ONE
+    #: contiguous buffer per lane for the scan carry — elementwise-identical
+    #: numerics (verified), one fused optimizer kernel instead of one per
+    #: leaf.  Measured on the v5e it LOSES (7.9 vs 13.1 eps/s): the
+    #: per-step unravel re-materializes every leaf from the flat buffer,
+    #: costing more copies than the per-leaf op overhead it removes
+    #: (docs/PERF.md r3 ablation).  Kept as a measured-rejected knob.
+    inner_carry: str = "tree"
 
 
 def bank_labels(spec: EpisodeSpec, replicas: int) -> jnp.ndarray:
@@ -121,7 +129,11 @@ def _bank_fmap(
     """
     from mft_tpu.ops.augment import augment_batch, center_batch, to_float
 
-    support = to_float(support_base)
+    # the replica fan-out runs at the backbone's compute dtype: bf16 halves
+    # the warp/jitter traffic (~28% of the eval batch was this fan-out,
+    # docs/PERF.md r3 trace) at uint8-source precision
+    dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
+    support = to_float(support_base, dt)
     n = support.shape[0] * support.shape[1]
     # bound peak trunk activation memory: sub-chunk large replica groups
     # (50-shot groups are 250 images; the stem output alone would be ~GBs)
@@ -139,13 +151,13 @@ def _bank_fmap(
         out = jax.lax.map(lambda xc: bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=bn_train), sub)
         return out.reshape((n,) + out.shape[2:])
 
-    clean = trunk_of(center_batch(support, aug_cfg.image_size))
+    clean = trunk_of(center_batch(support, aug_cfg.image_size, dtype=dt))
     if clean_only:
         return jax.lax.stop_gradient(clean)
     fmap = jnp.stack([clean, clean, clean])
     if gen_examples:
         keys = jax.random.split(key, gen_examples)
-        augs = jax.lax.map(lambda k: trunk_of(augment_batch(k, support, aug_cfg)), keys)
+        augs = jax.lax.map(lambda k: trunk_of(augment_batch(k, support, aug_cfg, dtype=dt)), keys)
         fmap = jnp.concatenate([fmap, augs], axis=0)
     return jax.lax.stop_gradient(fmap.reshape((-1,) + fmap.shape[2:]))
 
@@ -205,6 +217,12 @@ def _adapt_block(
 
     adam = opt.torch_adam if tcfg.opt_state_dtype == "float32" else opt.torch_adam_lowmem
     epochwise = fast and tcfg.inner_gather == "epoch"
+    # flat contiguous carry: ravel the adapted tensors into one buffer per
+    # optimizer group so the scan's Adam update is a single fused kernel
+    # over contiguous memory instead of one per leaf (elementwise-identical)
+    flat_mode = tcfg.inner_carry == "flat" and not epochwise
+    if flat_mode:
+        from jax.flatten_util import ravel_pytree
     if epochwise:
         from mft_tpu.train.inner_loop import inner_fit_epochwise
 
@@ -221,6 +239,15 @@ def _adapt_block(
                 return ce_loss(chunk_feats(p, chunk, w), chunk["y"], w)
 
             return inner_fit_epochwise(loss_fn_e, block_p, tx, key, icfg, banks), None
+
+        if flat_mode:
+            flat0, unravel = ravel_pytree(block_p)
+
+            def loss_fn_f(f, idx, w):
+                return ce_loss(features_of(unravel(f), idx, w), bank_y[idx], w)
+
+            adapted_f = inner_fit(loss_fn_f, flat0, tx, key, icfg, schedule=schedule)
+            return unravel(adapted_f), None
 
         def loss_fn(p, idx, w):
             feats = features_of(p, idx, w)
@@ -250,6 +277,19 @@ def _adapt_block(
 
         adapted = inner_fit_epochwise(loss_fn_e, p0, tx, key, icfg, banks)
         return adapted["adapt"], adapted["head"]
+
+    if flat_mode:
+        flat_a, unravel_a = ravel_pytree(block_p)
+        flat_h, unravel_h = ravel_pytree(head)
+        p0 = {"adapt": flat_a, "head": flat_h}
+
+        def loss_fn_f(p, idx, w):
+            feats = features_of(unravel_a(p["adapt"]), idx, w)
+            logits = classifier_logits(unravel_h(p["head"]), feats)
+            return ce_loss(logits, bank_y[idx], w)
+
+        adapted = inner_fit(loss_fn_f, p0, tx, key, icfg, schedule=schedule)
+        return unravel_a(adapted["adapt"]), unravel_h(adapted["head"])
 
     def loss_fn(p, idx, w):
         feats = features_of(p["adapt"], idx, w)
@@ -605,7 +645,10 @@ def make_eval_program(
 
     def one_episode(models, base_episode, key):
         k_aug, k_fit = jax.random.split(key)
-        episode = center_batch(base_episode, aug_cfg.image_size)
+        # the clean episode rides the backbone's compute dtype end to end
+        # (bf16 halves the center-view + embed activation traffic)
+        dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
+        episode = center_batch(base_episode, aug_cfg.image_size, dtype=dt)
         support = base_episode[:, : spec.n_support]
         if tcfg.bn_mode == "episode":
             # fast path: members fan replicas out on the fly inside the

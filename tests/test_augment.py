@@ -18,8 +18,28 @@ def test_crop_resize_matches_static_resize():
     # correctly samples the surrounding image instead)
     top, left, ch, cw = 8.0, 12.0, 32.0, 40.0
     warped = jax.jit(lambda im: aug._crop_resize(im, top, left, ch, cw, 24))(im)
-    ref = jax.jit(lambda im: jax.image.resize(im[8 : 8 + 32, 12 : 12 + 40], (24, 24, 3), "bilinear"))(im)
+    ref = jax.jit(
+        lambda im: jax.image.resize(im[8 : 8 + 32, 12 : 12 + 40], (24, 24, 3), "bilinear", antialias=False)
+    )(im)
     np.testing.assert_allclose(np.asarray(warped)[3:-3, 3:-3], np.asarray(ref)[3:-3, 3:-3], atol=2e-5)
+
+
+def test_crop_resize_flip_fold_exact():
+    """The flips folded into the warp's scale/translate scalars equal
+    reversing the warped output — zero-cost mirroring."""
+    im = _img()
+    top, left, ch, cw = 5.0, 9.0, 30.0, 41.0
+    base = jax.jit(lambda im: aug._crop_resize(im, top, left, ch, cw, 24))(im)
+    t = jnp.asarray(True)
+    f = jnp.asarray(False)
+    fh = jax.jit(lambda im: aug._crop_resize(im, top, left, ch, cw, 24, flip_h=t, flip_v=f))(im)
+    fv = jax.jit(lambda im: aug._crop_resize(im, top, left, ch, cw, 24, flip_h=f, flip_v=t))(im)
+    both = jax.jit(lambda im: aug._crop_resize(im, top, left, ch, cw, 24, flip_h=t, flip_v=t))(im)
+    off = jax.jit(lambda im: aug._crop_resize(im, top, left, ch, cw, 24, flip_h=f, flip_v=f))(im)
+    np.testing.assert_allclose(np.asarray(fh), np.asarray(base)[:, ::-1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(base)[::-1, :], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(both), np.asarray(base)[::-1, ::-1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(off), np.asarray(base), atol=1e-5)
 
 
 def test_center_view_shape_and_normalization():

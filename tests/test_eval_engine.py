@@ -237,6 +237,22 @@ def test_bn_mode_agreement_bound():
     assert agree >= 0.75
 
 
+def test_inner_carry_flat_equals_tree():
+    """The contiguous flat carry (one ravelled buffer per optimizer group)
+    is elementwise the same program as the structured pytree carry."""
+    params, stats, head, episode, support, replicas = _setup()
+    outs = {}
+    for carry in ("tree", "flat"):
+        tcfg = TCFG._replace(inner_carry=carry)
+        fn = jax.jit(
+            lambda p, s, h, e, r, ka, k, t=tcfg: ee.ensemble_episode_scores(
+                p, s, p, s, h, e, r, ka, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=t, **MKW
+            )
+        )
+        outs[carry] = np.asarray(fn(params, stats, head, episode, support, jax.random.PRNGKey(0), jax.random.PRNGKey(1)))
+    np.testing.assert_allclose(outs["flat"], outs["tree"], rtol=2e-5, atol=2e-5)
+
+
 def test_dampnet_member_live_vs_nofinetune():
     """The live dampnet member (finetune_50.py:589-687 composition) adapts
     the backbone before domain-shift scoring; the nofinetune branch does not.
