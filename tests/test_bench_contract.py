@@ -25,5 +25,8 @@ def test_bench_prints_one_json_line(monkeypatch):
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     assert len(lines) == 1, f"stdout must be exactly one line, got: {lines}"
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # driver core keys + the honest end-to-end framing fields (r3)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert {"vs_reference_e2e", "eps_v4_8_extrapolated", "wallclock_600_s", "wallclock_600_v4_8_s"} <= set(rec)
     assert rec["unit"] == "episodes/sec" and rec["value"] > 0
+    assert rec["vs_baseline"] is not None and rec["vs_reference_e2e"] > rec["vs_baseline"]
