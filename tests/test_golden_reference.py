@@ -230,6 +230,50 @@ def test_dampnet_domain_shift_full(g):
     np.testing.assert_allclose(np.asarray(scores), g["dampnet.scores"], rtol=1e-3, atol=1e-4)
 
 
+def test_dampnet_prototype_branches_golden(g):
+    """The PROTOTYPE DampNet variant vs the reference's own methods/dampnet.py
+    set_forward: the plain branch with the mean-center/L2-norm projection
+    (:121-137), the rolling-store-driven 'recover' branch (:210-249), and
+    the domain-shift eval branch (:250-291)."""
+    if "dproto.feats" not in g:
+        pytest.skip("fixture predates the prototype-dampnet golden; rerun tools/gen_golden_reference.py")
+    from mft_tpu.methods import dampnet as dn
+
+    params = {
+        "fc": {
+            "linear": lin_mat(g["dproto.fc.0.weight"], g["dproto.fc.0.bias"]),
+            "bn": {"scale": jnp.asarray(g["dproto.fc.1.weight"]), "bias": jnp.asarray(g["dproto.fc.1.bias"])},
+        },
+        "gnn": {
+            "layers": [
+                {"w": _wcompute_tree(g, f"dproto.gnn.layer_w{i}"), "l": _gconv_tree(g, f"dproto.gnn.layer_l{i}")}
+                for i in range(2)
+            ],
+            "w_last": _wcompute_tree(g, "dproto.gnn.w_comp_last"),
+            "l_last": _gconv_tree(g, "dproto.gnn.layer_last", bn=False),
+        },
+        "W_R": jnp.asarray(g["dproto.W_R.weight"]),
+        "V_R": lin_mat(g["dproto.V_R.weight"], g["dproto.V_R.bias"]),
+        "W_R_std": jnp.asarray(g["dproto.W_R_std.weight"]),
+        "V_R_std": lin_mat(g["dproto.V_R_std.weight"], g["dproto.V_R_std.bias"]),
+    }
+    for name in ("layer1", "layer2", "layer3", "layer1_add", "layer2_add", "layer3_add"):
+        params[name] = lin_mat(g[f"dproto.{name}.weight"], g[f"dproto.{name}.bias"])
+    cfg = dn.prototype_cfg(feat_dim=16, n_way=3, n_support=2)
+    state = {
+        "proto_mean": jnp.asarray(g["dproto.proto_mean"]),
+        "proto_std": jnp.asarray(g["dproto.proto_std"]),
+        "initialized": jnp.ones((), jnp.bool_),
+        "store_mean": jnp.asarray(g["dproto.store_mean"]),
+        "store_std": jnp.asarray(g["dproto.store_std"]),
+        "count": jnp.full((), 152, jnp.int32),
+    }
+    feats = jnp.asarray(g["dproto.feats"])
+    for mode, key in [("plain", "scores_plain"), ("recover", "scores_recover"), ("domain_shift", "scores_ds")]:
+        scores = dn.dampnet_scores(params, state, feats, cfg, 15, mode=mode)
+        np.testing.assert_allclose(np.asarray(scores), g[f"dproto.{key}"], rtol=1e-3, atol=1e-4, err_msg=mode)
+
+
 # --------------------------------------------------------------------------
 # BottleneckBlock (reference backbone.py:264-311)
 # --------------------------------------------------------------------------

@@ -227,6 +227,66 @@ def gen_optimizers():
         OUT[f"opt.{name}"] = np.stack(traj)
 
 
+def gen_dampnet_prototype():
+    """The PROTOTYPE DampNet variant (reference methods/dampnet.py — the
+    ``--method dampnet`` model): the plain 'first' branch with the
+    mean-center/L2-norm projection (:121-137), the even-count 'recover'
+    branch driven by the rolling-store prototypes (:210-249), and the
+    domain-shift eval branch (:250-291).  The odd-count corruption branch
+    draws np.random inside and cannot be replayed cross-RNG; its math is
+    covered by the shared recovery/znorm goldens here."""
+    import dampnet as ref_dn
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    class IdentityBackbone(nn.Module):
+        final_feat_dim = 16
+
+        def forward(self, x):  # "images" are feature rows already
+            return x
+
+    gen = torch.Generator().manual_seed(9)
+    torch.manual_seed(53)
+    m = ref_dn.DampNet(IdentityBackbone, n_way=3, n_support=2)
+    randomize_bn(m, gen)
+    m.train()
+    m.n_query = 15
+    put("dproto", m)
+
+    feats = torch.randn(3, 2 + 15, 16, generator=gen)
+    store_mean = torch.randn(20, 16, generator=gen)
+    store_std = torch.randn(20, 6, 16, generator=gen)
+    OUT["dproto.feats"] = feats.numpy()
+    OUT["dproto.store_mean"] = store_mean.numpy()
+    OUT["dproto.store_std"] = store_std.numpy()
+
+    # plain 'first' branch (call_count 150, first=True)
+    m.first = True
+    m.call_count = 150
+    m.meta_store_mean = store_mean.clone()
+    m.meta_store_std = store_std.clone()
+    with torch.no_grad():
+        OUT["dproto.scores_plain"] = m.set_forward(feats.view(3, 17, 16), is_feature=False).numpy()
+
+    # even-count 'recover' branch: recovery vs rolling-store prototypes
+    m.first = False
+    m.call_count = 152
+    m.meta_store_mean = store_mean.clone()
+    m.meta_store_std = store_std.clone()
+    with torch.no_grad():
+        OUT["dproto.scores_recover"] = m.set_forward(feats.view(3, 17, 16), is_feature=False).numpy()
+
+    # domain-shift eval branch (fixed final prototypes + znorm)
+    m.final_meta_prototype = torch.randn(16, generator=gen)
+    m.final_meta_prototype_std = torch.randn(16, generator=gen).abs() + 0.5
+    m.final_meta_prototypes_initialized = True
+    OUT["dproto.proto_mean"] = m.final_meta_prototype.numpy()
+    OUT["dproto.proto_std"] = m.final_meta_prototype_std.numpy()
+    with torch.no_grad():
+        OUT["dproto.scores_ds"] = m.set_forward(feats, is_feature=True, domain_shift=True).numpy()
+
+
 def gen_bottleneck_block():
     """backbone.BottleneckBlock (reference backbone.py:264-311), half_res=True
     with the 1x1-conv shortcut, train-mode forward."""
@@ -390,6 +450,7 @@ def main():
     gen_optimizers()
     gen_bottleneck_block()
     gen_finetune_e2e()
+    gen_dampnet_prototype()
     import os
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests", "fixtures", "golden_reference.npz")
