@@ -134,10 +134,12 @@ def main(argv=None):
 
 def run_baseline(a, manifest, aug_cfg, bcfg, params, stats, tx, opt_state, ckpt_dir, logger, start_epoch, rng):
     n_batches = max(1, len(manifest) // a.batch_size)
+    # augment at the compute dtype (bf16 halves the on-device fan-out traffic)
+    dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
 
     @jax.jit
     def step(params, stats, opt_state, base_x, y, key):
-        x = aug.augment_batch(key, base_x, aug_cfg) if a.train_aug else aug.center_batch(base_x, aug_cfg.image_size)
+        x = aug.augment_batch(key, base_x, aug_cfg, dtype=dt) if a.train_aug else aug.center_batch(base_x, aug_cfg.image_size, dtype=dt)
         return steps.baseline_train_step(params, stats, opt_state, x, y, bcfg=bcfg, tx=tx)
 
     for epoch in range(start_epoch, a.stop_epoch + 1):
@@ -154,6 +156,7 @@ def run_baseline(a, manifest, aug_cfg, bcfg, params, stats, tx, opt_state, ckpt_
 
 def run_episodic(a, manifest, aug_cfg, bcfg, gcfg, spec, params, stats, tx, opt_state, ckpt_dir, logger, start_epoch, rng):
     e_batch = a.episode_batch
+    dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
     method = "protonet" if a.method == "protonet" else "gnnnet"
     mcfg = steps.MetaFinetuneCfg(epochs=15 if method == "gnnnet" else 5, batch_size=4, bn_mode=a.bn_mode)
 
@@ -161,9 +164,9 @@ def run_episodic(a, manifest, aug_cfg, bcfg, gcfg, spec, params, stats, tx, opt_
     def step(params, stats, opt_state, base_eps, key):
         k_aug, k_step = jax.random.split(key)
         if a.train_aug:
-            x = aug.augment_batch(k_aug, base_eps, aug_cfg)
+            x = aug.augment_batch(k_aug, base_eps, aug_cfg, dtype=dt)
         else:
-            x = aug.center_batch(base_eps, aug_cfg.image_size)
+            x = aug.center_batch(base_eps, aug_cfg.image_size, dtype=dt)
         if a.fine_tune:
             return steps.meta_finetune_train_step(
                 params, stats, opt_state, x, k_step, method=method, bcfg=bcfg, gcfg=gcfg, spec=spec, mcfg=mcfg, tx=tx
@@ -205,6 +208,7 @@ def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_s
     from mft_tpu.methods import dampnet as dn
 
     e_batch = a.episode_batch
+    dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
     proto_start = 206  # dampnet_full_class.py:430
     window = []  # rolling 5-epoch support-feature bank (:52,456-462)
     step_index = 0
@@ -212,7 +216,7 @@ def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_s
     @functools.partial(jax.jit, static_argnames=("mode",))
     def step(params, stats, opt_state, dstate, base_eps, key, *, mode):
         k_aug, k_step = jax.random.split(key)
-        x = aug.augment_batch(k_aug, base_eps, aug_cfg) if a.train_aug else aug.center_batch(base_eps, aug_cfg.image_size)
+        x = aug.augment_batch(k_aug, base_eps, aug_cfg, dtype=dt) if a.train_aug else aug.center_batch(base_eps, aug_cfg.image_size, dtype=dt)
         return steps.dampnet_train_step(params, stats, opt_state, dstate, x, k_step,
                                         mode=mode, bcfg=bcfg, dcfg=dcfg, spec=spec, tx=tx)
 
