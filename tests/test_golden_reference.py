@@ -230,6 +230,36 @@ def test_dampnet_domain_shift_full(g):
     np.testing.assert_allclose(np.asarray(scores), g["dampnet.scores"], rtol=1e-3, atol=1e-4)
 
 
+def test_simple_block2_eval_mode_golden(g):
+    """SimpleBlock2 (reference backbone.py:90-130, the ResNet10_FW block) in
+    eval mode: the FWT layers reduce to plain running-stat BN; verifies the
+    block wiring (strided C1, FWT-BN on the second conv and the shortcut)."""
+    if "simple_block2.x" not in g:
+        pytest.skip("fixture predates the SimpleBlock2 golden; rerun tools/gen_golden_reference.py")
+    p = {
+        "conv1": conv_hwio(g["simple_block2.C1.weight"]),
+        "bn1": bn_pair(g, "simple_block2.BN1"),
+        "conv2": conv_hwio(g["simple_block2.C2.weight"]),
+        "bn2": bn_pair(g, "simple_block2.BN2"),
+        "fwt_gamma2": jnp.asarray(g["simple_block2.BN2.gamma"].reshape(-1)),
+        "fwt_beta2": jnp.asarray(g["simple_block2.BN2.beta"].reshape(-1)),
+        "conv_sc": conv_hwio(g["simple_block2.shortcut.weight"]),
+        "bn_sc": bn_pair(g, "simple_block2.BNshortcut"),
+        "fwt_gamma_sc": jnp.asarray(g["simple_block2.BNshortcut.gamma"].reshape(-1)),
+        "fwt_beta_sc": jnp.asarray(g["simple_block2.BNshortcut.beta"].reshape(-1)),
+    }
+    s = {
+        "bn1": bn_run(g, "simple_block2.BN1"),
+        "bn2": bn_run(g, "simple_block2.BN2"),
+        "bn_sc": bn_run(g, "simple_block2.BNshortcut"),
+    }
+    x = jnp.asarray(np.transpose(g["simple_block2.x"], (0, 2, 3, 1)))
+    ctx = bb.BNCtx(use_batch_stats=False, update_stats=False, momentum=0.1, sample_mask=None)
+    y, _ = bb._apply_block(p, s, x, half_res=True, ctx=ctx, fwt=True, train=False, rng=None)
+    want = np.transpose(g["simple_block2.y_eval"], (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
+
+
 def test_dampnet_prototype_branches_golden(g):
     """The PROTOTYPE DampNet variant vs the reference's own methods/dampnet.py
     set_forward: the plain branch with the mean-center/L2-norm projection

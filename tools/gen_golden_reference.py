@@ -227,6 +227,25 @@ def gen_optimizers():
         OUT[f"opt.{name}"] = np.stack(traj)
 
 
+def gen_simple_block2():
+    """backbone.SimpleBlock2 (reference backbone.py:90-130) — the
+    ResNet10_FW building block — in EVAL mode, where the
+    FeatureWiseTransformation2d_fw layers reduce to plain running-stat BN
+    (the train-mode noise draws torch RNG and cannot be replayed cross-RNG;
+    our sampled-noise math is oracle/shape-tested separately)."""
+    import backbone as ref_bb
+
+    gen = torch.Generator().manual_seed(10)
+    block = ref_bb.SimpleBlock2(indim=4, outdim=8, half_res=True)
+    randomize_bn(block, gen)
+    x = torch.randn(3, 4, 8, 8, generator=gen)
+    OUT["simple_block2.x"] = x.numpy()
+    put("simple_block2", block)
+    block.eval()
+    with torch.no_grad():
+        OUT["simple_block2.y_eval"] = block(x).numpy()
+
+
 def gen_dampnet_prototype():
     """The PROTOTYPE DampNet variant (reference methods/dampnet.py — the
     ``--method dampnet`` model): the plain 'first' branch with the
@@ -451,6 +470,7 @@ def main():
     gen_bottleneck_block()
     gen_finetune_e2e()
     gen_dampnet_prototype()
+    gen_simple_block2()
     import os
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests", "fixtures", "golden_reference.npz")
