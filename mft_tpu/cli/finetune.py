@@ -133,15 +133,24 @@ def build_models(a, paths, bcfg, gcfg):
     return models
 
 
-def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg, *, n_images: int = -1):
-    """Embed center views of ``dataset_name`` through the backbone (one
-    jitted chunked program) -> features [N, feat].
+def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg, *, n_images: int = -1,
+                   batch: int = 64):
+    """Embed center views of ``dataset_name`` through the backbone ->
+    features [N, feat].
 
     ``n_images=-1`` (default) sweeps the full dataset — reference parity:
     the dampnet prototype precompute iterates the entire miniImageNet base
     set (finetune_50.py:591-622).  A positive value subsamples ``n_images``
-    evenly-spaced images (``--sweep_images``; a statistical deviation, useful
-    on slow hosts)."""
+    evenly-spaced images (``--sweep_images``; a statistical deviation,
+    useful on slow hosts).
+
+    Streaming: images are decoded on a thread pool and embedded one
+    ``batch`` at a time (default 64 — the reference's own sweep batch,
+    finetune_50.py:592, so per-batch BN statistics match), with only one
+    decoded batch and the [N, feat] feature matrix ever resident — a
+    38k-image miniImageNet sweep never materializes as a multi-GB tensor."""
+    import concurrent.futures as cf
+
     from mft_tpu.data.pipeline import decode_image
     from mft_tpu.ops import augment as aug
 
@@ -149,23 +158,23 @@ def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg
     manifest_s = registry.build_manifest(entry_s, paths.as_dict())
     cap = len(manifest_s) if n_images is None or n_images < 0 else min(n_images, len(manifest_s))
     idx = np.linspace(0, len(manifest_s) - 1, cap).astype(np.int64)
-    imgs = np.stack([decode_image(manifest_s.items[i], a.base_size) for i in idx])
-    n_real = len(imgs)
-    chunk = min(50, n_real)
-    pad = (-n_real) % chunk
-    if pad:
-        imgs = np.concatenate([imgs, imgs[:pad]])
+    n_real = len(idx)
 
     @jax.jit
     def embed(params, stats, x_u8):
         x = aug.center_batch(x_u8, a.image_size)
-        chunks = x.reshape((-1, chunk) + x.shape[1:])
-        feats = jax.lax.map(
-            lambda xc: bb.apply_backbone(params, stats, xc, cfg=bcfg, train=True)[0], chunks
-        )
-        return feats.reshape(-1, feats.shape[-1])
+        return bb.apply_backbone(params, stats, x, cfg=bcfg, train=True)[0]
 
-    return embed(backbone_params, backbone_stats, jnp.asarray(imgs))[:n_real]
+    out = []
+    with cf.ThreadPoolExecutor(16) as pool:
+        for start in range(0, n_real, batch):
+            sel = idx[start : start + batch]
+            imgs = np.stack(list(pool.map(lambda i: decode_image(manifest_s.items[i], a.base_size), sel)))
+            # the ragged last batch keeps its true size (one extra compile):
+            # padding would perturb its BN batch statistics vs the
+            # reference's own ragged final loader batch
+            out.append(np.asarray(embed(backbone_params, backbone_stats, jnp.asarray(imgs))))
+    return jnp.asarray(np.concatenate(out))
 
 
 def compute_unsup_stats(a, paths, backbone_params, backbone_stats, bcfg, *, n_images: int = -1):

@@ -135,7 +135,7 @@ def main(argv=None):
 def run_baseline(a, manifest, aug_cfg, bcfg, params, stats, tx, opt_state, ckpt_dir, logger, start_epoch, rng):
     n_batches = max(1, len(manifest) // a.batch_size)
     # augment at the compute dtype (bf16 halves the on-device fan-out traffic)
-    dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
+    dt = aug.pipeline_dtype(bcfg.compute_dtype)
 
     @jax.jit
     def step(params, stats, opt_state, base_x, y, key):
@@ -156,7 +156,7 @@ def run_baseline(a, manifest, aug_cfg, bcfg, params, stats, tx, opt_state, ckpt_
 
 def run_episodic(a, manifest, aug_cfg, bcfg, gcfg, spec, params, stats, tx, opt_state, ckpt_dir, logger, start_epoch, rng):
     e_batch = a.episode_batch
-    dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
+    dt = aug.pipeline_dtype(bcfg.compute_dtype)
     method = "protonet" if a.method == "protonet" else "gnnnet"
     mcfg = steps.MetaFinetuneCfg(epochs=15 if method == "gnnnet" else 5, batch_size=4, bn_mode=a.bn_mode)
 
@@ -208,7 +208,7 @@ def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_s
     from mft_tpu.methods import dampnet as dn
 
     e_batch = a.episode_batch
-    dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
+    dt = aug.pipeline_dtype(bcfg.compute_dtype)
     proto_start = 206  # dampnet_full_class.py:430
     window = []  # rolling 5-epoch support-feature bank (:52,456-462)
     step_index = 0
@@ -234,9 +234,9 @@ def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_s
             eps = np.stack([next(it)[0] for _ in range(e_batch)])
             rng, k = jax.random.split(rng)
             if proto_variant:
-                # plain first call, then odd=corrupt / even=recover by
-                # call_count parity (dampnet.py:54,95-138)
-                mode = dn.prototype_training_mode(int(dstate["count"]))
+                # plain first call, then corrupt/recover alternating per
+                # STEP (dampnet.py:54,95-138; parity generalized to E>1)
+                mode = dn.prototype_training_mode(int(dstate["count"]), e_batch)
             else:
                 mode = dn.training_mode(step_index, bool(dstate["initialized"]))
             params, stats, opt_state, m = step(params, stats, opt_state, dstate, jnp.asarray(eps), k, mode=mode)

@@ -109,15 +109,20 @@ class EpisodeStream:
 
     @staticmethod
     def _cache_key(manifest: Manifest, spec: EpisodeSpec, n: int, seed: int, base_size: int) -> str:
-        """Content key: any change to the file list, labels, episode
-        geometry, seed, or decode resolution invalidates the cache."""
+        """Content key: any change to the file list (or in-memory array
+        content), labels, episode geometry, seed, decode resolution, or the
+        draft-decode mode invalidates the cache."""
         import hashlib
 
         h = hashlib.sha1()
         for it in manifest.items:
-            h.update(b"<array>" if isinstance(it, np.ndarray) else str(it).encode())
+            if isinstance(it, np.ndarray):
+                h.update(np.ascontiguousarray(it).tobytes())
+            else:
+                h.update(str(it).encode())
         h.update(np.asarray(manifest.labels).tobytes())
-        h.update(f"|{spec}|{n}|{seed}|{base_size}".encode())
+        draft = os.environ.get("MFT_DRAFT_DECODE", "1")
+        h.update(f"|{spec}|{n}|{seed}|{base_size}|draft={draft}".encode())
         return h.hexdigest()[:20]
 
     def _load(self, i: int):

@@ -32,8 +32,9 @@ drivers is ``dampnet_full_class``, finetune.py:448-449):
   rolling ``store_len``-episode store of clean feature means/raw support
   features whose statistics drive the training-time recovery
   (dampnet.py:24-26,133-136,147-148), mean-centered + L2-normalized
-  projections before the GNN (:125-129), fixed corruption constants
-  (:140-146), no head freezing on corruption steps, and the
+  projections before the GNN (:125-129), fixed corruption constants with
+  an UNscaled corruption bias (:140-146,166), no head freezing on
+  corruption steps, and the
   plain/odd-corrupt/even-recover call_count schedule starting at 150
   (:54,95-138).  Stores and call_count are explicit state.
 
@@ -226,24 +227,36 @@ def update_prototype_store(state, banks: jnp.ndarray):
     }
 
 
-def prototype_training_mode(count: int) -> str:
+def prototype_training_mode(count: int, e_batch: int = 1) -> str:
     """The prototype variant's schedule (dampnet.py:54,95-138: call_count
     starts at 150; the first call scores plainly, then odd counts corrupt
-    and even counts recover)."""
+    and even counts recover).
+
+    ``e_batch``: the driver's episode-batch size.  The rolling store
+    advances ``count`` by E per step, so parity must alternate per STEP
+    (one batched step = one reference "call"), not per raw count — with
+    E even, raw-count parity would never flip and the corruption half of
+    the training signal would silently never run."""
     if count == 150:
         return "plain"
-    return "corrupt" if count % 2 == 1 else "recover"
+    step = (count - 150 + e_batch - 1) // max(e_batch, 1)
+    return "corrupt" if step % 2 == 1 else "recover"
 
 
-def sample_corruption(key, x: jnp.ndarray, feat_dim: int, *, fixed_consts: bool = False):
+def sample_corruption(key, x: jnp.ndarray, feat_dim: int, *, prototype: bool = False, scale_bias: bool = None):
     """Random diagonal + t-distributed corruption of a [N, f] feature matrix
     (dampnet_full_class.py:146-174), with masked fixed-size scatters.
 
-    ``fixed_consts``: the prototype variant pins perc=0.6, perc_zeros=0.3,
-    m_fac=1.5 instead of sampling them (dampnet.py:140-146)."""
+    ``prototype``: the prototype variant pins perc=0.6, perc_zeros=0.3,
+    m_fac=1.5 instead of sampling them (dampnet.py:140-146) — and adds the
+    bias UNscaled (``corrupt_x += corruption_bias``, dampnet.py:166),
+    unlike dampnet_full_class.py:174's ``m_fac * corruption_bias``.
+    ``scale_bias`` overrides that coupling (tests only)."""
     f = feat_dim
+    if scale_bias is None:
+        scale_bias = not prototype
     ks = jax.random.split(key, 9)
-    if fixed_consts:
+    if prototype:
         perc = jnp.asarray(0.6)
         perc_zeros = jnp.asarray(0.3)
         m_fac = jnp.asarray(1.5)
@@ -273,7 +286,7 @@ def sample_corruption(key, x: jnp.ndarray, feat_dim: int, *, fixed_consts: bool 
     corruption = corruption.at[ri, ri2].set(corruption[ri, ri2] + add_vals)
     bias = jnp.zeros((f,)).at[ri2].set(jnp.where(sel_mask, t_bias[ri2], 0.0))
 
-    corrupt_x = x @ corruption + m_fac * bias
+    corrupt_x = x @ corruption + (m_fac * bias if scale_bias else bias)
     return jax.lax.stop_gradient(corrupt_x)
 
 
@@ -331,7 +344,7 @@ def dampnet_scores(
 
     if mode == "corrupt":
         assert key is not None
-        corrupt = sample_corruption(key, flat, f, fixed_consts=proto)
+        corrupt = sample_corruption(key, flat, f, prototype=proto)
         c_episode = corrupt.reshape(n_way, slots, f)
         c_mean, c_std = episode_stats(c_episode, cfg._replace(stat="support"))
         mult, add = recovery(params, src_state, jax.lax.stop_gradient(c_mean), jax.lax.stop_gradient(c_std))

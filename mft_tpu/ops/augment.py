@@ -54,6 +54,12 @@ class AugmentCfg(NamedTuple):
     vflip: bool = False
 
 
+def pipeline_dtype(compute_dtype: str):
+    """Augment-pipeline dtype for a backbone compute dtype: bf16 halves the
+    fan-out traffic at uint8-source precision (see :func:`to_float`)."""
+    return jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+
 def to_float(images: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """uint8 [0,255] -> float [0,1] on device (host->device transport stays
     uint8: 4x less PCIe/ICI traffic than shipping decoded floats).

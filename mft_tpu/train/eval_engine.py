@@ -127,12 +127,12 @@ def _bank_fmap(
     Returns ``[span, h, w, c]`` with replica order = clean x3 then the
     ``gen_examples`` augmented groups (finetune.py:93,225-233).
     """
-    from mft_tpu.ops.augment import augment_batch, center_batch, to_float
+    from mft_tpu.ops.augment import augment_batch, center_batch, pipeline_dtype, to_float
 
     # the replica fan-out runs at the backbone's compute dtype: bf16 halves
     # the warp/jitter traffic (~28% of the eval batch was this fan-out,
     # docs/PERF.md r3 trace) at uint8-source precision
-    dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
+    dt = pipeline_dtype(bcfg.compute_dtype)
     support = to_float(support_base, dt)
     n = support.shape[0] * support.shape[1]
     # bound peak trunk activation memory: sub-chunk large replica groups
@@ -641,13 +641,13 @@ def make_eval_program(
     ``gen_examples + 3`` replica fan-out, the scan-based transfer fine-tune,
     and head scoring — vmapped over E (shard E over the mesh's data axis).
     """
-    from mft_tpu.ops.augment import center_batch, make_eval_replicas
+    from mft_tpu.ops.augment import center_batch, make_eval_replicas, pipeline_dtype
 
     def one_episode(models, base_episode, key):
         k_aug, k_fit = jax.random.split(key)
         # the clean episode rides the backbone's compute dtype end to end
         # (bf16 halves the center-view + embed activation traffic)
-        dt = jnp.bfloat16 if bcfg.compute_dtype == "bfloat16" else jnp.float32
+        dt = pipeline_dtype(bcfg.compute_dtype)
         episode = center_batch(base_episode, aug_cfg.image_size, dtype=dt)
         support = base_episode[:, : spec.n_support]
         if tcfg.bn_mode == "episode":

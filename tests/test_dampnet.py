@@ -148,6 +148,28 @@ def test_prototype_training_mode_schedule():
     assert dn.prototype_training_mode(151) == "corrupt"
     assert dn.prototype_training_mode(152) == "recover"
     assert dn.prototype_training_mode(153) == "corrupt"
+    # with an episode batch, parity alternates per STEP (count advances by
+    # E per step; raw-count parity would never flip for even E and the
+    # corruption half of training would silently never run)
+    for e in (2, 4):
+        modes = [dn.prototype_training_mode(150 + e * i, e) for i in range(5)]
+        assert modes == ["plain", "corrupt", "recover", "corrupt", "recover"]
+
+
+def test_prototype_corruption_bias_unscaled():
+    """The prototype variant adds the corruption bias UNscaled
+    (dampnet.py:166), unlike dampnet_full_class.py:174's m_fac * bias.
+    On zero input the output IS the bias term, so the two scalings must
+    differ by exactly m_fac = 1.5."""
+    zeros = jnp.zeros((4, 32), jnp.float32)
+    k = jax.random.PRNGKey(5)
+    unscaled = np.asarray(dn.sample_corruption(k, zeros, 32, prototype=True))
+    scaled = np.asarray(dn.sample_corruption(k, zeros, 32, prototype=True, scale_bias=True))
+    assert np.abs(unscaled).max() > 0  # the bias term is live under this key
+    np.testing.assert_allclose(scaled, 1.5 * unscaled, rtol=1e-6)
+    # the live prototype path is the unscaled one
+    default = np.asarray(dn.sample_corruption(k, zeros, 32, prototype=True))
+    np.testing.assert_array_equal(default, unscaled)
 
 
 def test_prototype_variant_scores_and_gradients():
