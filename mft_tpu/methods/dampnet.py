@@ -112,7 +112,9 @@ def _bilinear_init(key, f: int, out: int, dtype=jnp.float32):
 
 def bilinear(w: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """out_k = a^T W_k b."""
-    return jnp.einsum("i,kij,j->k", a, w, b, preferred_element_type=jnp.float32).astype(a.dtype)
+    return jnp.einsum(
+        "i,kij,j->k", a, w, b, preferred_element_type=jnp.promote_types(a.dtype, jnp.float32)
+    ).astype(a.dtype)
 
 
 def init_dampnet(key, cfg: DampNetCfg, dtype=jnp.float32):

@@ -22,7 +22,7 @@ def proto_scores(z_support: jnp.ndarray, z_query: jnp.ndarray, spec: EpisodeSpec
     # -||q-p||^2, expanded for one MXU matmul instead of an O(N*M*F) broadcast
     q2 = jnp.sum(jnp.square(q), axis=1, keepdims=True)
     p2 = jnp.sum(jnp.square(protos), axis=1)[None, :]
-    qp = jnp.dot(q, protos.T, preferred_element_type=jnp.float32).astype(q.dtype)
+    qp = jnp.dot(q, protos.T, preferred_element_type=jnp.promote_types(q.dtype, jnp.float32)).astype(q.dtype)
     return -(q2 + p2 - 2.0 * qp)
 
 

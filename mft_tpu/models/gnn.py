@@ -117,7 +117,9 @@ def apply_gconv(p, w_ops: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     ``concat([x, adj @ x], -1)``.
     """
     # einsum maps to batched MXU matmuls: [B,N,N] @ [B,N,F] per operator.
-    prod = jnp.einsum("bijk,bjf->bikf", w_ops, x, preferred_element_type=jnp.float32).astype(x.dtype)
+    prod = jnp.einsum(
+        "bijk,bjf->bikf", w_ops, x, preferred_element_type=jnp.promote_types(x.dtype, jnp.float32)
+    ).astype(x.dtype)
     # -> [B, N, J, F]; torch's split/cat ordering = concat over J on the last axis
     b, n, j, f = prod.shape
     h = prod.reshape(b, n, j * f)

@@ -53,12 +53,14 @@ def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     (backbone.py:428-430); a full spatial mean is identical.  Accumulates in
     f32 (bf16-safe) and returns the input dtype.
     """
-    return jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+    return jnp.mean(x.astype(jnp.promote_types(x.dtype, jnp.float32)), axis=(1, 2)).astype(x.dtype)
 
 
 def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """``x @ w + b`` with f32 MXU accumulation."""
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    y = jnp.dot(
+        x, p["w"].astype(x.dtype), preferred_element_type=jnp.promote_types(x.dtype, jnp.float32)
+    ).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

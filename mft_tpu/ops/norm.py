@@ -74,7 +74,8 @@ def batch_norm(
         with torch momentum convention ``new = (1-m)*old + m*batch``.
     """
     in_dtype = x.dtype
-    x = x.astype(jnp.float32)  # statistics always in f32 (bf16-safe)
+    # statistics in >=f32 (bf16-safe); f64 inputs keep f64 (x64 golden tests)
+    x = x.astype(jnp.promote_types(in_dtype, jnp.float32))
     reduce_axes = tuple(range(x.ndim - 1))
     if use_batch_stats:
         mean, var, count = _masked_moments(x, reduce_axes, sample_mask)

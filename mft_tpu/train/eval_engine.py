@@ -524,6 +524,7 @@ def dampnet_member_scores(
     eval_mode: str = "finetune",
     with_linear_fusion: bool = True,
     unsup_stats=None,
+    inner_schedule=None,
 ):
     """The LIVE dampnet eval composition (``eval_mode='finetune'``, default):
     the shipped dampnet dispatch routes through ``finetune()`` with
@@ -580,7 +581,7 @@ def dampnet_member_scores(
         adapted_block, _ = _adapt_block(
             backbone_params, backbone_stats, bank_y, k_fit,
             bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
-            fmap_bank=fmap_bank, bank_x=bank_x,
+            fmap_bank=fmap_bank, bank_x=bank_x, schedule=inner_schedule,
         )
         trunk_p, _ = bb.adapt_split(backbone_params)
         full = bb.adapt_merge(trunk_p, adapted_block)

@@ -24,6 +24,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from mft_tpu.core.episode import flatten_episode, support_labels
@@ -150,7 +151,9 @@ def dampnet_train_step(params, stats, opt_state, dstate, episodes, rng, *, mode,
 # --------------------------------------------------------------------------
 
 
-def _meta_finetune_episode_loss(params, stats, episode, key, *, method, bcfg, gcfg, spec, mcfg: MetaFinetuneCfg):
+def _meta_finetune_episode_loss(
+    params, stats, episode, key, *, method, bcfg, gcfg, spec, mcfg: MetaFinetuneCfg, schedule=None
+):
     support = episode[:, : spec.n_support]
     bank_x = support.reshape((spec.support_size,) + episode.shape[2:])
     bank_y = support_labels(spec)
@@ -172,13 +175,22 @@ def _meta_finetune_episode_loss(params, stats, episode, key, *, method, bcfg, gc
             feats, _ = bb.apply_backbone(full, stats, bank_x[idx], cfg=bcfg, train=True, sample_mask=w)
         return ce_loss(feats, bank_y[idx], w)
 
-    adapted_block = inner_fit(inner_loss, jax.lax.stop_gradient(block_p), opt.torch_adam(mcfg.lr), key, icfg)
+    adapted_block = inner_fit(
+        inner_loss, jax.lax.stop_gradient(block_p), opt.torch_adam(mcfg.lr), key, icfg, schedule=schedule
+    )
     block_for_outer = fo_maml_reattach(block_p, adapted_block)
     full = bb.adapt_merge(trunk_p, block_for_outer)
 
-    flat = flatten_episode(episode)
-    feats, new_stats = bb.apply_backbone(full, stats, flat, cfg=bcfg, train=True, update_stats=True)
-    z = feats.reshape(spec.n_way, spec.n_per_class, -1)
+    # the reference embeds support and query in SEPARATE forward passes after
+    # adaptation (gnnnet.py:193-197, protonet.py:154-156) — train-mode BN
+    # therefore normalizes each with its OWN batch statistics, unlike the
+    # plain episodic path's single whole-episode pass (meta_template.py:33-47)
+    flat_q = episode[:, spec.n_support :].reshape((spec.query_size,) + episode.shape[2:])
+    feats_s, stats_s = bb.apply_backbone(full, stats, bank_x, cfg=bcfg, train=True, update_stats=True)
+    feats_q, new_stats = bb.apply_backbone(full, stats_s, flat_q, cfg=bcfg, train=True, update_stats=True)
+    z = jnp.concatenate(
+        [feats_s.reshape(spec.n_way, spec.n_support, -1), feats_q.reshape(spec.n_way, spec.n_query, -1)], axis=1
+    )
     if method == "protonet":
         scores = proto_scores(z[:, : spec.n_support], z[:, spec.n_support :], spec)
         return protonet_loss(scores, spec), new_stats

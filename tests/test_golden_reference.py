@@ -192,6 +192,30 @@ def test_gnnnet50_compressed_set_forward(g):
     np.testing.assert_allclose(np.asarray(scores), g["gnnnet50.scores"], rtol=1e-3, atol=1e-4)
 
 
+def _dampnet_param_tree(g, prefix: str):
+    params = {
+        "fc": {
+            "linear": lin_mat(g[f"{prefix}.fc.0.weight"], g[f"{prefix}.fc.0.bias"]),
+            "bn": {"scale": jnp.asarray(g[f"{prefix}.fc.1.weight"]), "bias": jnp.asarray(g[f"{prefix}.fc.1.bias"])},
+        },
+        "gnn": {
+            "layers": [
+                {"w": _wcompute_tree(g, f"{prefix}.gnn.layer_w{i}"), "l": _gconv_tree(g, f"{prefix}.gnn.layer_l{i}")}
+                for i in range(2)
+            ],
+            "w_last": _wcompute_tree(g, f"{prefix}.gnn.w_comp_last"),
+            "l_last": _gconv_tree(g, f"{prefix}.gnn.layer_last", bn=False),
+        },
+        "W_R": jnp.asarray(g[f"{prefix}.W_R.weight"]),
+        "V_R": lin_mat(g[f"{prefix}.V_R.weight"], g[f"{prefix}.V_R.bias"]),
+        "W_R_std": jnp.asarray(g[f"{prefix}.W_R_std.weight"]),
+        "V_R_std": lin_mat(g[f"{prefix}.V_R_std.weight"], g[f"{prefix}.V_R_std.bias"]),
+    }
+    for name in ("layer1", "layer2", "layer3", "layer1_add", "layer2_add", "layer3_add"):
+        params[name] = lin_mat(g[f"{prefix}.{name}.weight"], g[f"{prefix}.{name}.bias"])
+    return params
+
+
 def test_dampnet_domain_shift_full(g):
     """The complete DampNet eval path vs the reference's own
     set_forward(x, is_feature=True, domain_shift=True)
@@ -200,26 +224,7 @@ def test_dampnet_domain_shift_full(g):
     GNN scoring."""
     from mft_tpu.methods import dampnet as dn
 
-    params = {
-        "fc": {
-            "linear": lin_mat(g["dampnet.fc.0.weight"], g["dampnet.fc.0.bias"]),
-            "bn": {"scale": jnp.asarray(g["dampnet.fc.1.weight"]), "bias": jnp.asarray(g["dampnet.fc.1.bias"])},
-        },
-        "gnn": {
-            "layers": [
-                {"w": _wcompute_tree(g, f"dampnet.gnn.layer_w{i}"), "l": _gconv_tree(g, f"dampnet.gnn.layer_l{i}")}
-                for i in range(2)
-            ],
-            "w_last": _wcompute_tree(g, "dampnet.gnn.w_comp_last"),
-            "l_last": _gconv_tree(g, "dampnet.gnn.layer_last", bn=False),
-        },
-        "W_R": jnp.asarray(g["dampnet.W_R.weight"]),
-        "V_R": lin_mat(g["dampnet.V_R.weight"], g["dampnet.V_R.bias"]),
-        "W_R_std": jnp.asarray(g["dampnet.W_R_std.weight"]),
-        "V_R_std": lin_mat(g["dampnet.V_R_std.weight"], g["dampnet.V_R_std.bias"]),
-    }
-    for name in ("layer1", "layer2", "layer3", "layer1_add", "layer2_add", "layer3_add"):
-        params[name] = lin_mat(g[f"dampnet.{name}.weight"], g[f"dampnet.{name}.bias"])
+    params = _dampnet_param_tree(g, "dampnet")
     state = {
         "proto_mean": jnp.asarray(g["dampnet.proto_mean"]),
         "proto_std": jnp.asarray(g["dampnet.proto_std"]),
@@ -269,26 +274,7 @@ def test_dampnet_prototype_branches_golden(g):
         pytest.skip("fixture predates the prototype-dampnet golden; rerun tools/gen_golden_reference.py")
     from mft_tpu.methods import dampnet as dn
 
-    params = {
-        "fc": {
-            "linear": lin_mat(g["dproto.fc.0.weight"], g["dproto.fc.0.bias"]),
-            "bn": {"scale": jnp.asarray(g["dproto.fc.1.weight"]), "bias": jnp.asarray(g["dproto.fc.1.bias"])},
-        },
-        "gnn": {
-            "layers": [
-                {"w": _wcompute_tree(g, f"dproto.gnn.layer_w{i}"), "l": _gconv_tree(g, f"dproto.gnn.layer_l{i}")}
-                for i in range(2)
-            ],
-            "w_last": _wcompute_tree(g, "dproto.gnn.w_comp_last"),
-            "l_last": _gconv_tree(g, "dproto.gnn.layer_last", bn=False),
-        },
-        "W_R": jnp.asarray(g["dproto.W_R.weight"]),
-        "V_R": lin_mat(g["dproto.V_R.weight"], g["dproto.V_R.bias"]),
-        "W_R_std": jnp.asarray(g["dproto.W_R_std.weight"]),
-        "V_R_std": lin_mat(g["dproto.V_R_std.weight"], g["dproto.V_R_std.bias"]),
-    }
-    for name in ("layer1", "layer2", "layer3", "layer1_add", "layer2_add", "layer3_add"):
-        params[name] = lin_mat(g[f"dproto.{name}.weight"], g[f"dproto.{name}.bias"])
+    params = _dampnet_param_tree(g, "dproto")
     cfg = dn.prototype_cfg(feat_dim=16, n_way=3, n_support=2)
     state = {
         "proto_mean": jnp.asarray(g["dproto.proto_mean"]),
@@ -486,3 +472,345 @@ def test_torch_adam_lowmem_tracks_golden(g):
 def test_reference_probe_sgd_vs_golden(g):
     traj = _run_optax(opt.reference_probe_sgd(0.01), g["opt.p0"], g["opt.grads"])
     np.testing.assert_allclose(traj, g["opt.sgd_probe"], rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# TRAINING backward parity: set_forward_loss / set_forward_loss_finetune
+# (methods/gnnnet.py:106-231) — loss + every parameter gradient vs the
+# reference's own backward pass
+# --------------------------------------------------------------------------
+
+
+def _gnnnet_head_trees(g, prefix: str):
+    fc = {
+        "linear": lin_mat(g[f"{prefix}.fc.0.weight"], g[f"{prefix}.fc.0.bias"]),
+        "bn": {"scale": jnp.asarray(g[f"{prefix}.fc.1.weight"]), "bias": jnp.asarray(g[f"{prefix}.fc.1.bias"])},
+    }
+    gnn_p = {
+        "layers": [
+            {"w": _wcompute_tree(g, f"{prefix}.gnn.layer_w{i}"), "l": _gconv_tree(g, f"{prefix}.gnn.layer_l{i}")}
+            for i in range(2)
+        ],
+        "w_last": _wcompute_tree(g, f"{prefix}.gnn.w_comp_last"),
+        "l_last": _gconv_tree(g, f"{prefix}.gnn.layer_last", bn=False),
+    }
+    return fc, gnn_p
+
+
+def _grad_fixture_view(g, grad_prefix: str, param_prefix: str):
+    """A fixture-shaped dict whose PARAM entries are the reference's recorded
+    gradients — the tree builders' layout transforms (OIHW->HWIO transposes,
+    weight-matrix transposes) are linear, so running the same builders over
+    this view yields the reference gradients in the jax tree layout.
+    Running-stat buffers (gradless) keep their original values so the
+    backbone builder still finds them."""
+    view = {}
+    for k, v in g.items():
+        if k.startswith(grad_prefix + "."):
+            view[f"{param_prefix}.{k[len(grad_prefix) + 1:]}"] = v
+        elif k.startswith(param_prefix + ".") and "running" in k:
+            view[k] = v
+    return view
+
+
+def _assert_tree_close(got, want, rtol=2e-3, atol_frac=2e-4, label=""):
+    import jax
+
+    paths = [jax.tree_util.keystr(kp) for kp, _ in jax.tree_util.tree_flatten_with_path(want)[0]]
+    for path, a, b in zip(paths, jax.tree.leaves(got), jax.tree.leaves(want)):
+        b = np.asarray(b)
+        scale = float(np.abs(b).max()) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=rtol, atol=atol_frac * scale + 1e-9, err_msg=f"{label}{path}"
+        )
+
+
+def _gnnnet_param_tree(g):
+    params_f, stats_f = _tiny_backbone_trees(g, "fte2e_gnn.feature")
+    fc, gnn_p = _gnnnet_head_trees(g, "fte2e_gnn")
+    return {"feature": params_f, "fc": fc, "gnn": gnn_p}, stats_f
+
+
+def _as_f64(tree):
+    import jax
+
+    return jax.tree.map(lambda a: jnp.asarray(a).astype(jnp.float64), tree)
+
+
+def test_episodic_train_backward_golden(g):
+    """The episodic TRAIN step's backward pass vs the reference's own
+    ``set_forward_loss(x).backward()`` (gnnnet.py:219-224; train_loop2,
+    meta_template.py:76-92): loss + gradients for EVERY parameter — trunk
+    convs through train-mode BN, the fc projector's no-running-stats BN1d,
+    and the GNN's masked-softmax adjacency.  The forward goldens cannot catch
+    a backward-only divergence; this does.
+
+    Compared in FLOAT64 on both sides (the fixture runs the reference in
+    double; here x64 is enabled and the f32 weights are widened exactly), so
+    the tolerance sits at the f64 noise floor instead of the ~1e-4 f32
+    accumulation-order floor — tight enough to catch real semantic drift."""
+    if "trainstep.loss" not in g:
+        pytest.skip("fixture predates the train-backward golden; rerun tools/gen_golden_reference.py")
+    if g["trainstep.loss"].dtype != np.float64:
+        pytest.skip("fixture predates the f64 backward goldens; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.methods.gnnnet import GnnNetCfg
+    from mft_tpu.train import steps
+
+    spec = EpisodeSpec(n_way=2, n_support=2, n_query=16)
+    gcfg = GnnNetCfg(feat_dim=16, n_way=2, n_support=2)
+
+    with jax.enable_x64():
+        params, stats_f = _gnnnet_param_tree(g)
+        params, stats_f = _as_f64(params), _as_f64(stats_f)
+
+        rs = np.random.RandomState(321)
+        x = rs.rand(2, 18, 3, 224, 224)
+        ep = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+
+        def loss_fn(p):
+            loss, _ = steps._episode_loss(p, stats_f, ep, method="gnnnet", bcfg=TINY_BCFG, gcfg=gcfg, spec=spec)
+            return loss
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(float(loss), float(g["trainstep.loss"]), rtol=1e-9)
+
+        gv = _grad_fixture_view(g, "trainstep.grad", "fte2e_gnn")
+        want_feature, _ = _tiny_backbone_trees(gv, "fte2e_gnn.feature")
+        want_fc, want_gnn = _gnnnet_head_trees(gv, "fte2e_gnn")
+        _assert_tree_close(grads["feature"], want_feature, rtol=1e-6, atol_frac=1e-8, label="feature")
+        _assert_tree_close(grads["fc"], want_fc, rtol=1e-6, atol_frac=1e-8, label="fc")
+        _assert_tree_close(grads["gnn"], want_gnn, rtol=1e-6, atol_frac=1e-8, label="gnn")
+
+
+def test_meta_finetune_backward_golden(g):
+    """The META FINE-TUNING stage vs the reference's own
+    ``set_forward_loss_finetune(x).backward()`` (gnnnet.py:106-231): the
+    15-epoch inner Adam(0.01) on the last block (train-mode BN per minibatch,
+    recorded permutations replayed), the SEPARATE post-adaptation
+    support/query embedding passes (:193-197), the GNN forward, and the
+    first-order outer gradients — including that the trunk/adapted-block
+    outer grads equal the reference's grads at the adapted point (the
+    fo_maml_reattach contract)."""
+    if "mft.loss" not in g:
+        pytest.skip("fixture predates the meta-finetune golden; rerun tools/gen_golden_reference.py")
+    if g["mft.loss"].dtype != np.float64:
+        pytest.skip("fixture predates the f64 backward goldens; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.methods.gnnnet import GnnNetCfg
+    from mft_tpu.train import steps
+    from mft_tpu.train.inner_loop import InnerLoopCfg, schedule_from_perms
+
+    spec = EpisodeSpec(n_way=2, n_support=2, n_query=16)
+    gcfg = GnnNetCfg(feat_dim=16, n_way=2, n_support=2)
+    mcfg = steps.MetaFinetuneCfg(epochs=15, batch_size=4, bn_mode="minibatch")
+
+    with jax.enable_x64():
+        params, stats_f = _gnnnet_param_tree(g)
+        params, stats_f = _as_f64(params), _as_f64(stats_f)
+        sched = schedule_from_perms(g["mft.perms"], InnerLoopCfg(epochs=15, batch_size=4, bank_size=4))
+
+        rs = np.random.RandomState(654)
+        x = rs.rand(2, 18, 3, 224, 224)
+        ep = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+        key = jax.random.PRNGKey(0)  # unused: the schedule overrides the sampler
+
+        def loss_fn(p):
+            loss, _ = steps._meta_finetune_episode_loss(
+                p, stats_f, ep, key, method="gnnnet", bcfg=TINY_BCFG, gcfg=gcfg, spec=spec, mcfg=mcfg,
+                schedule=sched,
+            )
+            return loss
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        # the 15-epoch inner Adam's 1/(sqrt(nu)+eps) amplifies roundoff; in
+        # f64 that leaves ~1e-10 relative drift — tolerance stays 4+ orders
+        # of magnitude below any semantic divergence
+        np.testing.assert_allclose(float(loss), float(g["mft.loss"]), rtol=1e-8)
+
+        gv = _grad_fixture_view(g, "mft.grad", "fte2e_gnn")
+        want_feature, _ = _tiny_backbone_trees(gv, "fte2e_gnn.feature")
+        want_fc, want_gnn = _gnnnet_head_trees(gv, "fte2e_gnn")
+        _assert_tree_close(grads["feature"], want_feature, rtol=1e-5, atol_frac=1e-7, label="feature")
+        _assert_tree_close(grads["fc"], want_fc, rtol=1e-5, atol_frac=1e-7, label="fc")
+        _assert_tree_close(grads["gnn"], want_gnn, rtol=1e-5, atol_frac=1e-7, label="gnn")
+
+
+def test_protonet_finetune_backward_golden(g):
+    """The ProtoNet meta fine-tuning stage vs the reference's own
+    ``set_forward_loss_finetune(x).backward()``
+    (/root/reference/methods/protonet.py:66-176): the 5-epoch inner
+    Adam(0.01) on the last block with features-as-logits CE, the RAGGED
+    final minibatch (support 6, batch 4 -> sizes 4+2; masked-BN fixed-shape
+    equivalence), separate post-adaptation support/query embeddings, and the
+    first-order outer gradients through the prototype euclidean scores.
+    FLOAT64 on both sides (see test_episodic_train_backward_golden)."""
+    if "pnft.loss" not in g:
+        pytest.skip("fixture predates the protonet-finetune golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.train import steps
+    from mft_tpu.train.inner_loop import InnerLoopCfg, schedule_from_perms
+
+    spec = EpisodeSpec(n_way=3, n_support=2, n_query=5)
+    mcfg = steps.MetaFinetuneCfg(epochs=5, batch_size=4, bn_mode="minibatch")
+
+    with jax.enable_x64():
+        params_f, stats_f = _tiny_backbone_trees(g, "pnft.feature")
+        params = {"feature": _as_f64(params_f)}
+        stats_f = _as_f64(stats_f)
+        sched = schedule_from_perms(g["pnft.perms"], InnerLoopCfg(epochs=5, batch_size=4, bank_size=6))
+
+        rs = np.random.RandomState(777)
+        x = rs.rand(3, 7, 3, 224, 224)
+        ep = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+        key = jax.random.PRNGKey(0)  # unused: the schedule overrides the sampler
+
+        def loss_fn(p):
+            loss, _ = steps._meta_finetune_episode_loss(
+                p, stats_f, ep, key, method="protonet", bcfg=TINY_BCFG, gcfg=None, spec=spec, mcfg=mcfg,
+                schedule=sched,
+            )
+            return loss
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(float(loss), float(g["pnft.loss"]), rtol=1e-8)
+
+        gv = _grad_fixture_view(g, "pnft.grad", "pnft")
+        want_feature, _ = _tiny_backbone_trees(gv, "pnft.feature")
+        _assert_tree_close(grads["feature"], want_feature, rtol=1e-5, atol_frac=1e-7, label="feature")
+
+
+def test_dampnet_train_backward_golden(g):
+    """The DampNet episodic TRAIN step's backward pass vs the reference's own
+    train_loop_full per-batch body (dampnet_full_class.py:425-447): backbone
+    embed of the flat episode, ``set_forward_loss`` through the
+    pre-initialization 'plain' branch (fc projection, per-query graph build,
+    forward_gnn, CE), and the backward through backbone + fc + GNN.
+    FLOAT64 on both sides (see test_episodic_train_backward_golden)."""
+    if "dtrain.loss" not in g:
+        pytest.skip("fixture predates the dampnet-train golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.methods import dampnet as dn
+
+    dcfg = dn.DampNetCfg(feat_dim=16, n_way=3, n_support=2, stat="class")
+
+    with jax.enable_x64():
+        params_f, stats_f = _tiny_backbone_trees(g, "dtrain.feature")
+        fc, gnn_p = _gnnnet_head_trees(g, "dtrain")
+        params = _as_f64({"feature": params_f, "fc": fc, "gnn": gnn_p})
+        stats_f = _as_f64(stats_f)
+
+        rs = np.random.RandomState(987)
+        x = rs.rand(21, 3, 224, 224)
+        flat = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+        def loss_fn(p):
+            feats, _ = bb.apply_backbone(
+                p["feature"], stats_f, flat, cfg=TINY_BCFG, train=True, update_stats=True
+            )
+            z = feats.reshape(3, 7, -1)
+            scores = dn.dampnet_scores(
+                {"fc": p["fc"], "gnn": p["gnn"]}, None, z, dcfg, 5, mode="plain"
+            )
+            return dn.dampnet_loss(scores, 3, 5)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(float(loss), float(g["dtrain.loss"]), rtol=1e-9)
+
+        gv = _grad_fixture_view(g, "dtrain.grad", "dtrain")
+        want_feature, _ = _tiny_backbone_trees(gv, "dtrain.feature")
+        want_fc, want_gnn = _gnnnet_head_trees(gv, "dtrain")
+        _assert_tree_close(grads["feature"], want_feature, rtol=1e-6, atol_frac=1e-8, label="feature")
+        _assert_tree_close(grads["fc"], want_fc, rtol=1e-6, atol_frac=1e-8, label="fc")
+        _assert_tree_close(grads["gnn"], want_gnn, rtol=1e-6, atol_frac=1e-8, label="gnn")
+
+
+def test_baseline_train_backward_golden(g):
+    """The baseline supervised pretraining step's backward pass vs the
+    reference's own ``BaselineTrain.forward_loss(x, y).backward()``
+    (baselinetrain.py:26-56): backbone embed with train-mode BN, Linear
+    classifier, CE over base-class labels.  FLOAT64 on both sides."""
+    if "btrain.loss" not in g:
+        pytest.skip("fixture predates the baseline-train golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.train import steps
+
+    with jax.enable_x64():
+        params_f, stats_f = _tiny_backbone_trees(g, "btrain.feature")
+        clf = lin_mat(g["btrain.classifier.weight"], g["btrain.classifier.bias"])
+        params = _as_f64({"feature": params_f, "classifier": clf})
+        stats_f = _as_f64(stats_f)
+
+        rs = np.random.RandomState(135)
+        x = jnp.asarray(np.transpose(rs.rand(6, 3, 224, 224), (0, 2, 3, 1)))
+        y = jnp.asarray(g["btrain.y"])
+
+        def loss_fn(p):
+            loss, _aux = steps.baseline_loss_fn(p, stats_f, x, y, bcfg=TINY_BCFG)
+            return loss
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(float(loss), float(g["btrain.loss"]), rtol=1e-9)
+
+        gv = _grad_fixture_view(g, "btrain.grad", "btrain")
+        want_feature, _ = _tiny_backbone_trees(gv, "btrain.feature")
+        want_clf = lin_mat(gv["btrain.classifier.weight"], gv["btrain.classifier.bias"])
+        _assert_tree_close(grads["feature"], want_feature, rtol=1e-6, atol_frac=1e-8, label="feature")
+        _assert_tree_close(grads["classifier"], want_clf, rtol=1e-6, atol_frac=1e-8, label="classifier")
+
+
+def test_dampnet_finetune_e2e_golden(g):
+    """The LIVE dampnet eval composition vs the reference's own
+    ``finetune(..., ds=True)`` run end to end
+    (/root/reference/finetune.py:182-328 with the ds branch at :313-314 —
+    the dispatch the shipped 50-shot driver routes dampnet through,
+    finetune_50.py:622,687): bank assembly, the inner Adam loop adapting the
+    last block, then ``set_forward(is_feature=True, domain_shift=True)`` on
+    the ADAPTED episode features."""
+    if "ftdamp.scores" not in g:
+        pytest.skip("fixture predates the dampnet-e2e golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.methods import dampnet as dn
+    from mft_tpu.train import eval_engine as ee
+    from mft_tpu.train.inner_loop import InnerLoopCfg, schedule_from_perms
+
+    params_b, stats_b = _tiny_backbone_trees(g, "ftdamp_base")
+    damp_params = _dampnet_param_tree(g, "dampnet")
+    damp_state = {
+        "proto_mean": jnp.asarray(g["dampnet.proto_mean"]),
+        "proto_std": jnp.asarray(g["dampnet.proto_std"]),
+        "initialized": jnp.ones((), jnp.bool_),
+    }
+    dcfg = dn.DampNetCfg(feat_dim=16, n_way=3, n_support=2, stat="class")
+    spec = EpisodeSpec(n_way=3, n_support=2, n_query=15)
+    tcfg = ee.TransferCfg(fine_tune_epochs=1, bn_mode="minibatch")
+
+    rs = np.random.RandomState(456)
+    x_clean = rs.rand(3, 17, 3, 224, 224).astype(np.float32)
+    x_aug = x_clean.copy()
+    x_aug[:, :2] = rs.rand(3, 2, 3, 224, 224).astype(np.float32)
+    ep = jnp.asarray(np.transpose(x_clean, (0, 1, 3, 4, 2)))
+    sup = np.transpose(x_clean, (0, 1, 3, 4, 2))[:, :2]
+    aug_sup = np.transpose(x_aug, (0, 1, 3, 4, 2))[:, :2]
+    bank = jnp.asarray(np.stack([sup, sup, sup, aug_sup]))
+
+    sched = schedule_from_perms(g["ftdamp.perms"], InnerLoopCfg(epochs=1, batch_size=5, bank_size=24))
+    k = jax.random.PRNGKey(0)
+    fn = jax.jit(
+        lambda pb, sb, dp, dst, e, b: ee.dampnet_member_scores(
+            pb, sb, dp, dst, e, b, k, k, bcfg=TINY_BCFG, dcfg=dcfg, spec=spec, tcfg=tcfg,
+            gen_examples=1, inner_schedule=sched,
+        )
+    )
+    scores = np.asarray(fn(params_b, stats_b, damp_params, damp_state, ep, bank))
+    np.testing.assert_allclose(scores, g["ftdamp.scores"], rtol=2e-3, atol=2e-3)

@@ -166,6 +166,247 @@ def gen_gnnnet50_set_forward():
         OUT["gnnnet50.scores"] = m.set_forward(feats, is_feature=True).numpy()  # [45, 3]
 
 
+def gen_train_step_backward(model_gnn):
+    """Episodic TRAIN-step backward parity: the reference's own
+    ``set_forward_loss(x).backward()`` (methods/gnnnet.py:219-224 +
+    meta_template train_loop2, train.py:37-42) on the tiny meta-trained
+    GnnNet — records the loss and EVERY parameter gradient.  Nothing else in
+    the fixture set exercises the backward pass end to end (BN-batch-stat
+    backward through the trunk, the fc projector's no-running-stats BN1d,
+    the GNN's masked softmax adjacency).
+
+    Run in FLOAT64 (exact widening of the f32 weights): single-precision
+    accumulation-order roundoff through the deep BN chain is ~1e-4 on the
+    gradients, which would force tolerances too loose to discriminate; the
+    jax side compares under x64 so both sides sit at the f64 noise floor."""
+    import copy
+
+    m = copy.deepcopy(model_gnn).double()  # keep the source model pristine
+    m.support_label = m.support_label.double()
+    m.train()
+    m.n_query = 16  # the training schedule's query count (train.py:112)
+    rs = np.random.RandomState(321)
+    x = torch.from_numpy(rs.rand(E2E_N_WAY, E2E_N_SUPPORT + 16, 3, 224, 224))
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)  # torch.eye in Wcompute etc.
+    try:
+        m.zero_grad(set_to_none=True)
+        loss = m.set_forward_loss(x)
+        loss.backward()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    OUT["trainstep.loss"] = np.asarray(loss.detach().numpy(), dtype=np.float64)
+    for name, p in m.named_parameters():
+        if p.grad is not None:
+            OUT[f"trainstep.grad.{name}"] = p.grad.detach().numpy().copy()
+
+
+def gen_meta_finetune_backward(model_gnn):
+    """The META FINE-TUNING stage, executed by the reference itself:
+    ``set_forward_loss_finetune(x)`` (methods/gnnnet.py:106-231) — the inner
+    15-epoch Adam(0.01) loop on the last block (support embedded per
+    minibatch with train-mode BN), the adapted-weight load, the SEPARATE
+    support/query embedding passes (:193-197), the GNN forward, and the
+    first-order outer backward.  Records the loss, the recorded
+    np.random minibatch permutations (:154), and every outer parameter
+    gradient (evaluated at the adapted point, as the reference does).
+
+    Run in FLOAT64 (see gen_train_step_backward): the inner Adam loop's
+    1/(sqrt(nu)+eps) nonlinearity amplifies f32 roundoff into ~1e-3 outer
+    gradient drift; f64 on both sides keeps the tolerance discriminating."""
+    import copy
+
+    m = copy.deepcopy(model_gnn).double()
+    m.support_label = m.support_label.double()
+    m.train()
+    m.first = True  # single-episode golden: MAML_update is a no-op (:99)
+    m.n_query = 16  # gnnnet.py:198 asserts n_support + 16
+    rs = np.random.RandomState(654)
+    x = torch.from_numpy(rs.rand(E2E_N_WAY, E2E_N_SUPPORT + 16, 3, 224, 224))
+    torch.manual_seed(99)  # throwaway-classifier init (zero-grad, unused)
+    np.random.seed(MFT_PERM_SEED)
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        m.zero_grad(set_to_none=True)
+        loss = m.set_forward_loss_finetune(x)
+        loss.backward()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    OUT["mft.loss"] = np.asarray(loss.detach().numpy(), dtype=np.float64)
+    for name, p in m.named_parameters():
+        if p.grad is not None and not name.startswith(("feature2.", "feature3.")):
+            OUT[f"mft.grad.{name}"] = p.grad.detach().numpy().copy()
+    support_size = E2E_N_WAY * E2E_N_SUPPORT
+    np.random.seed(MFT_PERM_SEED)
+    OUT["mft.perms"] = np.stack([np.random.permutation(support_size) for _ in range(15)])
+
+
+MFT_PERM_SEED = 77
+FTDAMP_PERM_SEED = 33
+PNFT_PERM_SEED = 88
+
+
+def gen_protonet_finetune_backward(tiny):
+    """The ProtoNet meta fine-tuning stage, executed by the reference itself:
+    ``set_forward_loss_finetune(x).backward()``
+    (/root/reference/methods/protonet.py:66-176) — the 5-epoch inner
+    Adam(0.01) loop on the last block with features-as-logits CE (:129), a
+    ragged final minibatch (support 6, batch 4 -> 4+2), the separate
+    post-adaptation support/query embedding passes (:154-156), prototype
+    euclidean scoring, and the first-order outer backward.  FLOAT64 (see
+    gen_train_step_backward)."""
+    from methods.protonet import ProtoNet
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    gen = torch.Generator().manual_seed(23)
+    torch.manual_seed(61)
+    m = ProtoNet(tiny, n_way=3, n_support=2)
+    randomize_bn(m, gen)
+    put("pnft", m)
+    m = m.double()
+    m.train()
+    m.first = True
+    m.n_query = 5
+    rs = np.random.RandomState(777)
+    x = torch.from_numpy(rs.rand(3, 7, 3, 224, 224))
+    torch.manual_seed(98)  # throwaway-classifier init (zero-grad, unused)
+    np.random.seed(PNFT_PERM_SEED)
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        m.zero_grad(set_to_none=True)
+        loss = m.set_forward_loss_finetune(x)
+        loss.backward()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    OUT["pnft.loss"] = np.asarray(loss.detach().numpy(), dtype=np.float64)
+    for name, p in m.named_parameters():
+        if p.grad is not None and not name.startswith(("feature2.", "feature3.")):
+            OUT[f"pnft.grad.{name}"] = p.grad.detach().numpy().copy()
+    np.random.seed(PNFT_PERM_SEED)
+    OUT["pnft.perms"] = np.stack([np.random.permutation(6) for _ in range(5)])
+
+
+def gen_dampnet_train_backward(tiny):
+    """The DampNet episodic TRAIN step's backward pass, executed by the
+    reference itself: train_loop_full's per-batch body
+    (/root/reference/methods/dampnet_full_class.py:425-447) — ``x =
+    feature(flat)`` then ``set_forward_loss(x)`` through the
+    pre-initialization 'plain' branch (:124-144: fc projection over raw
+    backbone features, per-query graph build, forward_gnn, CE) — and
+    ``loss.backward()``.  Gradients flow through the backbone, fc and GNN;
+    the recovery modules (W_R/V_R/layers*) correctly receive none.
+    FLOAT64 (see gen_train_step_backward)."""
+    import dampnet_full_class as ref_damp
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    gen = torch.Generator().manual_seed(29)
+    torch.manual_seed(71)
+    m = ref_damp.DampNet(tiny, n_way=3, n_support=2)
+    randomize_bn(m, gen)
+    put("dtrain", m)
+    m = m.double()
+    m.support_label = m.support_label.double()
+    m.train()
+    m.n_query = 5
+    m.final_meta_prototypes_initialized = False  # the 'plain' branch (:124)
+    rs = np.random.RandomState(987)
+    x = torch.from_numpy(rs.rand(3 * 7, 3, 224, 224))  # flat, as :440 embeds
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        m.zero_grad(set_to_none=True)
+        feats = m.feature(x)
+        loss = m.set_forward_loss(feats)
+        loss.backward()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    OUT["dtrain.loss"] = np.asarray(loss.detach().numpy(), dtype=np.float64)
+    for name, p in m.named_parameters():
+        if p.grad is not None:
+            OUT[f"dtrain.grad.{name}"] = p.grad.detach().numpy().copy()
+
+
+def gen_baseline_train_backward(tiny):
+    """The baseline supervised pretraining step's backward pass, executed by
+    the reference itself: ``BaselineTrain.forward_loss(x, y).backward()``
+    (/root/reference/methods/baselinetrain.py:26-56 + train_loop :43-52) —
+    backbone embed (train-mode BN), Linear classifier (zero-initialized
+    bias, :17), CE.  FLOAT64 (see gen_train_step_backward)."""
+    from methods.baselinetrain import BaselineTrain
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    gen = torch.Generator().manual_seed(31)
+    torch.manual_seed(73)
+    m = BaselineTrain(tiny, num_class=7)
+    randomize_bn(m, gen)
+    put("btrain", m)
+    m = m.double()
+    m.train()
+    rs = np.random.RandomState(135)
+    x = torch.from_numpy(rs.rand(6, 3, 224, 224))
+    y = torch.from_numpy(rs.randint(0, 7, size=6))
+    OUT["btrain.y"] = y.numpy()
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        m.zero_grad(set_to_none=True)
+        loss = m.forward_loss(x, y)
+        loss.backward()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    OUT["btrain.loss"] = np.asarray(loss.detach().numpy(), dtype=np.float64)
+    for name, p in m.named_parameters():
+        if p.grad is not None:
+            OUT[f"btrain.grad.{name}"] = p.grad.detach().numpy().copy()
+
+
+def gen_dampnet_finetune_e2e(model_damp, tiny):
+    """The LIVE dampnet eval composition, executed by the reference itself:
+    ``finetune(..., ds=True)`` (/root/reference/finetune.py:182-328, the ds
+    branch at :313-314 — the dispatch the 50-shot driver ships,
+    finetune_50.py:622,687) — transfer-fine-tune the last block on the
+    augmented bank, then score the ADAPTED episode features with
+    ``set_forward(is_feature=True, domain_shift=True)``.  Records the
+    softmaxed episode scores + the np.random minibatch permutations."""
+    import finetune as ref_ft
+
+    gen = torch.Generator().manual_seed(11)
+    torch.manual_seed(55)
+    model_b = tiny()
+    randomize_bn(model_b, gen)
+    put("ftdamp_base", model_b)
+    state_b = {f"feature.{k}": v for k, v in model_b.state_dict().items()}
+
+    n_way, n_support = 3, 2  # must match the dampnet head (gen_dampnet_domain_shift)
+    rs = np.random.RandomState(456)
+    shape = (n_way, n_support + 15, 3, 224, 224)
+    x_clean = rs.rand(*shape).astype(np.float32)
+    x_aug = x_clean.copy()
+    x_aug[:, :n_support] = rs.rand(n_way, n_support, 3, 224, 224).astype(np.float32)
+    y = np.repeat(np.arange(n_way), n_support + 15)
+    liz_x = [torch.from_numpy(x_clean), torch.from_numpy(x_clean.copy()), torch.from_numpy(x_aug)]
+
+    torch.manual_seed(43)  # throwaway-classifier init (zero-grad on the GNN path)
+    np.random.seed(FTDAMP_PERM_SEED)
+    score = ref_ft.finetune(
+        liz_x, torch.from_numpy(y), model_damp, state_b, save_it=600,
+        n_query=15, n_way=n_way, n_support=n_support, ds=True,
+    )
+    OUT["ftdamp.scores"] = score.detach().numpy()
+
+    np.random.seed(FTDAMP_PERM_SEED)
+    bank = n_way * n_support * (len(liz_x) + 1)
+    OUT["ftdamp.perms"] = np.stack([np.random.permutation(bank) for _ in range(E2E_FT_EPOCHS)])
+
+
 def gen_dampnet_domain_shift():
     """The full DampNet eval path from features
     (dampnet_full_class.py:262-352 ``set_forward(x, is_feature=True,
@@ -198,6 +439,7 @@ def gen_dampnet_domain_shift():
     put("dampnet", m)
     with torch.no_grad():
         OUT["dampnet.scores"] = m.set_forward(feats, is_feature=True, domain_shift=True).numpy()
+    return m
 
 
 def gen_optimizers():
@@ -458,6 +700,7 @@ def gen_finetune_e2e():
 
     # ensemble = softmax-sum (finetune.py:648-650)
     OUT["fte2e.scores_all"] = (score_lin + score_gnn).detach().numpy()
+    return model_gnn, tiny
 
 
 def main():
@@ -465,10 +708,16 @@ def main():
     gen_gnn_pieces()
     gen_gnnnet_set_forward()
     gen_gnnnet50_set_forward()
-    gen_dampnet_domain_shift()
+    model_damp = gen_dampnet_domain_shift()
     gen_optimizers()
     gen_bottleneck_block()
-    gen_finetune_e2e()
+    model_gnn, tiny = gen_finetune_e2e()
+    gen_train_step_backward(model_gnn)
+    gen_meta_finetune_backward(model_gnn)
+    gen_protonet_finetune_backward(tiny)
+    gen_dampnet_train_backward(tiny)
+    gen_baseline_train_backward(tiny)
+    gen_dampnet_finetune_e2e(model_damp, tiny)
     gen_dampnet_prototype()
     gen_simple_block2()
     import os
