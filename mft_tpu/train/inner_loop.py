@@ -127,6 +127,44 @@ def inner_fit(
     return params
 
 
+def inner_fit_carry(
+    loss_fn: Callable,
+    params,
+    carry,
+    tx: optax.GradientTransformation,
+    key,
+    cfg: InnerLoopCfg,
+    schedule=None,
+):
+    """:func:`inner_fit` with an auxiliary non-optimized carry threaded
+    through the steps (gradients stopped each step).
+
+    ``loss_fn(params, carry, idx, weights) -> (scalar, new_carry)``.  Used to
+    reproduce the reference's BN running-statistic TRAJECTORY through the
+    meta fine-tune inner loop: every train-mode inner minibatch updates the
+    adapted copy's running stats, and ``load_state_dict`` persists them into
+    the meta model before the outer embedding passes (gnnnet.py:158-187) —
+    so here the full stats tree rides the scan carry.  Returns
+    ``(adapted_params, final_carry)``.
+    """
+    if cfg.epochs == 0:
+        return params, carry
+    idx_all, w_all = schedule if schedule is not None else minibatch_schedule(key, cfg)
+    opt_state = tx.init(params)
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def step(state, sched):
+        p, c, s = state
+        idx, w = sched
+        grads, new_c = grad_fn(p, c, idx, w)
+        updates, s = tx.update(grads, s, p)
+        return (optax.apply_updates(p, updates), jax.lax.stop_gradient(new_c), s), None
+
+    unroll = cfg.unroll if cfg.unroll > 1 and cfg.n_steps % cfg.unroll == 0 else 1
+    (params, carry, _), _ = jax.lax.scan(step, (params, carry, opt_state), (idx_all, w_all), unroll=unroll)
+    return params, carry
+
+
 def inner_fit_epochwise(
     loss_fn: Callable,
     params,

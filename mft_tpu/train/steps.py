@@ -33,7 +33,7 @@ from mft_tpu.methods.gnnnet import gnn_scores, gnnnet_loss
 from mft_tpu.methods.protonet import proto_scores, protonet_loss
 from mft_tpu.models import backbone as bb
 from mft_tpu.train import optimizers as opt
-from mft_tpu.train.inner_loop import InnerLoopCfg, fo_maml_reattach, inner_fit
+from mft_tpu.train.inner_loop import InnerLoopCfg, fo_maml_reattach, inner_fit, inner_fit_carry
 
 
 class MetaFinetuneCfg(NamedTuple):
@@ -166,18 +166,34 @@ def _meta_finetune_episode_loss(
     if fast:
         fmap_bank = jax.lax.stop_gradient(bb.apply_trunk(trunk_p, trunk_s, bank_x, cfg=bcfg, train=True))
 
-    def inner_loss(block, idx, w):
-        # CE on raw backbone features used as logits (gnnnet.py:168-170)
-        if fast:
+        def inner_loss(block, idx, w):
+            # CE on raw backbone features used as logits (gnnnet.py:168-170)
             feats = bb.apply_final_block(block, block_s, fmap_bank[idx], cfg=bcfg, train=True, sample_mask=w)
-        else:
-            full = bb.adapt_merge(jax.lax.stop_gradient(trunk_p), block)
-            feats, _ = bb.apply_backbone(full, stats, bank_x[idx], cfg=bcfg, train=True, sample_mask=w)
-        return ce_loss(feats, bank_y[idx], w)
+            return ce_loss(feats, bank_y[idx], w)
 
-    adapted_block = inner_fit(
-        inner_loss, jax.lax.stop_gradient(block_p), opt.torch_adam(mcfg.lr), key, icfg, schedule=schedule
-    )
+        adapted_block = inner_fit(
+            inner_loss, jax.lax.stop_gradient(block_p), opt.torch_adam(mcfg.lr), key, icfg, schedule=schedule
+        )
+        # documented deviation: the fast path's precomputed trunk bank means
+        # running stats do NOT ride the inner minibatches (README)
+        stats_inner = stats
+    else:
+
+        def inner_loss(block, s, idx, w):
+            # CE on raw backbone features used as logits (gnnnet.py:168-170);
+            # every inner minibatch also updates the running stats, exactly
+            # like the reference's train-mode feat_network forwards whose
+            # stats load_state_dict later persists (gnnnet.py:158-187)
+            full = bb.adapt_merge(jax.lax.stop_gradient(trunk_p), block)
+            feats, new_s = bb.apply_backbone(
+                full, s, bank_x[idx], cfg=bcfg, train=True, sample_mask=w, update_stats=True
+            )
+            return ce_loss(feats, bank_y[idx], w), new_s
+
+        adapted_block, stats_inner = inner_fit_carry(
+            inner_loss, jax.lax.stop_gradient(block_p), stats, opt.torch_adam(mcfg.lr), key, icfg,
+            schedule=schedule,
+        )
     block_for_outer = fo_maml_reattach(block_p, adapted_block)
     full = bb.adapt_merge(trunk_p, block_for_outer)
 
@@ -186,7 +202,7 @@ def _meta_finetune_episode_loss(
     # therefore normalizes each with its OWN batch statistics, unlike the
     # plain episodic path's single whole-episode pass (meta_template.py:33-47)
     flat_q = episode[:, spec.n_support :].reshape((spec.query_size,) + episode.shape[2:])
-    feats_s, stats_s = bb.apply_backbone(full, stats, bank_x, cfg=bcfg, train=True, update_stats=True)
+    feats_s, stats_s = bb.apply_backbone(full, stats_inner, bank_x, cfg=bcfg, train=True, update_stats=True)
     feats_q, new_stats = bb.apply_backbone(full, stats_s, flat_q, cfg=bcfg, train=True, update_stats=True)
     z = jnp.concatenate(
         [feats_s.reshape(spec.n_way, spec.n_support, -1), feats_q.reshape(spec.n_way, spec.n_query, -1)], axis=1

@@ -537,6 +537,18 @@ def _as_f64(tree):
     return jax.tree.map(lambda a: jnp.asarray(a).astype(jnp.float64), tree)
 
 
+def _post_stats_view(g, stats_prefix: str, param_prefix: str):
+    """A fixture-shaped dict whose running-stat buffers are the reference's
+    recorded POST-inner-loop values (``{stats_prefix}.<name>`` keys, relative
+    to the feature module), so the standard tree builders yield the expected
+    stats tree in the jax layout."""
+    view = {k: v for k, v in g.items() if k.startswith(param_prefix + ".")}
+    for k, v in g.items():
+        if k.startswith(stats_prefix + "."):
+            view[f"{param_prefix}.feature.{k[len(stats_prefix) + 1:]}"] = v
+    return view
+
+
 def test_episodic_train_backward_golden(g):
     """The episodic TRAIN step's backward pass vs the reference's own
     ``set_forward_loss(x).backward()`` (gnnnet.py:219-224; train_loop2,
@@ -620,17 +632,24 @@ def test_meta_finetune_backward_golden(g):
         key = jax.random.PRNGKey(0)  # unused: the schedule overrides the sampler
 
         def loss_fn(p):
-            loss, _ = steps._meta_finetune_episode_loss(
+            return steps._meta_finetune_episode_loss(
                 p, stats_f, ep, key, method="gnnnet", bcfg=TINY_BCFG, gcfg=gcfg, spec=spec, mcfg=mcfg,
                 schedule=sched,
             )
-            return loss
 
-        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        (loss, new_stats), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
         # the 15-epoch inner Adam's 1/(sqrt(nu)+eps) amplifies roundoff; in
         # f64 that leaves ~1e-10 relative drift — tolerance stays 4+ orders
         # of magnitude below any semantic divergence
         np.testing.assert_allclose(float(loss), float(g["mft.loss"]), rtol=1e-8)
+
+        if any(k.startswith("mft.post_stats.") for k in g):
+            # the BN running-stat TRAJECTORY: inner minibatch updates ride the
+            # scan carry, then the two outer passes (gnnnet.py:158-197)
+            _, want_stats = _tiny_backbone_trees(
+                _post_stats_view(g, "mft.post_stats", "fte2e_gnn"), "fte2e_gnn.feature"
+            )
+            _assert_tree_close(new_stats, want_stats, rtol=1e-8, atol_frac=1e-10, label="post_stats")
 
         gv = _grad_fixture_view(g, "mft.grad", "fte2e_gnn")
         want_feature, _ = _tiny_backbone_trees(gv, "fte2e_gnn.feature")
@@ -672,18 +691,165 @@ def test_protonet_finetune_backward_golden(g):
         key = jax.random.PRNGKey(0)  # unused: the schedule overrides the sampler
 
         def loss_fn(p):
-            loss, _ = steps._meta_finetune_episode_loss(
+            return steps._meta_finetune_episode_loss(
                 p, stats_f, ep, key, method="protonet", bcfg=TINY_BCFG, gcfg=None, spec=spec, mcfg=mcfg,
                 schedule=sched,
             )
-            return loss
 
-        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        (loss, new_stats), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
         np.testing.assert_allclose(float(loss), float(g["pnft.loss"]), rtol=1e-8)
+
+        if any(k.startswith("pnft.post_stats.") for k in g):
+            # running-stat trajectory incl. the RAGGED inner minibatches (4+2)
+            _, want_stats = _tiny_backbone_trees(
+                _post_stats_view(g, "pnft.post_stats", "pnft"), "pnft.feature"
+            )
+            _assert_tree_close(new_stats, want_stats, rtol=1e-8, atol_frac=1e-10, label="post_stats")
 
         gv = _grad_fixture_view(g, "pnft.grad", "pnft")
         want_feature, _ = _tiny_backbone_trees(gv, "pnft.feature")
         _assert_tree_close(grads["feature"], want_feature, rtol=1e-5, atol_frac=1e-7, label="feature")
+
+
+def test_probe_adaptation_golden(g):
+    """The frozen-feature linear probe vs the reference's own
+    ``BaselineFinetune.set_forward_adaptation`` (baselinefinetune.py:17-58):
+    100 epochs x batch 4 (ragged 4+2) of the reference SGD
+    (momentum 0.9, dampening 0.9, wd 0.001) on support features from the
+    recorded probe init and permutations, then query scores.  This is the
+    --method baseline eval stage (cli/test.py make_probe_program's
+    composition).  FLOAT64 on both sides."""
+    if "probe.scores" not in g:
+        pytest.skip("fixture predates the probe golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec, support_labels
+    from mft_tpu.methods.baseline import ce_loss, classifier_logits
+    from mft_tpu.train.inner_loop import InnerLoopCfg, inner_fit, schedule_from_perms
+    from mft_tpu.train.optimizers import reference_probe_sgd
+
+    spec = EpisodeSpec(n_way=3, n_support=2, n_query=5)
+
+    with jax.enable_x64():
+        feats = jnp.asarray(g["probe.feats"])  # [3, 7, 16] f64
+        z_support = feats[:, : spec.n_support].reshape(spec.support_size, -1)
+        z_query = feats[:, spec.n_support :].reshape(spec.query_size, -1)
+        y = support_labels(spec)
+        head0 = _as_f64(lin_mat(g["probe.clf.weight"], g["probe.clf.bias"]))
+        icfg = InnerLoopCfg(epochs=100, batch_size=4, bank_size=spec.support_size)
+        sched = schedule_from_perms(g["probe.perms"], icfg)
+
+        def loss_fn(p, idx, w):
+            return ce_loss(classifier_logits(p, z_support[idx]), y[idx], w)
+
+        @jax.jit
+        def run(head):
+            head = inner_fit(loss_fn, head, reference_probe_sgd(0.01), jax.random.PRNGKey(0), icfg, schedule=sched)
+            return classifier_logits(head, z_query)
+
+        scores = np.asarray(run(head0))
+        np.testing.assert_allclose(scores, g["probe.scores"], rtol=1e-8, atol=1e-10)
+
+
+def _g50_param_tree(g):
+    params_f, stats_f = _tiny_backbone_trees(g, "g50.feature")
+    fc, gnn_p = _gnnnet_head_trees(g, "g50")
+    return {"feature": params_f, "fc": fc, "gnn": gnn_p}, stats_f
+
+
+def test_gnnnet50_train_backward_golden(g):
+    """The 50-shot compressed episodic TRAIN step's backward pass vs the
+    reference's own ``gnnnet_copy.set_forward_loss(x).backward()``
+    (gnnnet_copy.py:51-78,259-264 + train_loop50): full backbone embed, fc
+    projection, POST-projection pair-averaging of the support embeddings
+    (z2.view(n_way,2,s,f).mean(1), :67-70), the halved graph build, and the
+    GNN backward.  FLOAT64 on both sides (see
+    test_episodic_train_backward_golden)."""
+    if "g50.loss" not in g:
+        pytest.skip("fixture predates the 50-shot backward goldens; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.methods.gnnnet import GnnNetCfg
+    from mft_tpu.train import steps
+
+    spec = EpisodeSpec(n_way=2, n_support=4, n_query=16)
+    gcfg = GnnNetCfg(feat_dim=16, n_way=2, n_support=4, support_compress=2)
+
+    with jax.enable_x64():
+        params, stats_f = _g50_param_tree(g)
+        params, stats_f = _as_f64(params), _as_f64(stats_f)
+
+        rs = np.random.RandomState(888)
+        x = rs.rand(2, 20, 3, 224, 224)
+        ep = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+
+        def loss_fn(p):
+            loss, _ = steps._episode_loss(p, stats_f, ep, method="gnnnet", bcfg=TINY_BCFG, gcfg=gcfg, spec=spec)
+            return loss
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(float(loss), float(g["g50.loss"]), rtol=1e-9)
+
+        gv = _grad_fixture_view(g, "g50.grad", "g50")
+        want_feature, _ = _tiny_backbone_trees(gv, "g50.feature")
+        want_fc, want_gnn = _gnnnet_head_trees(gv, "g50")
+        _assert_tree_close(grads["feature"], want_feature, rtol=1e-6, atol_frac=1e-8, label="feature")
+        _assert_tree_close(grads["fc"], want_fc, rtol=1e-6, atol_frac=1e-8, label="fc")
+        _assert_tree_close(grads["gnn"], want_gnn, rtol=1e-6, atol_frac=1e-8, label="gnn")
+
+
+def test_gnnnet50_finetune_backward_golden(g):
+    """The 50-shot META FINE-TUNING stage vs the reference's own
+    ``gnnnet_copy.set_forward_loss_finetune(x).backward()``
+    (gnnnet_copy.py:135-266 + train_loop_finetune50): the inner **5-epoch**
+    (:177 — vs 15 in the 5-shot gnnnet.py:145; cli/train.py mirrors this)
+    Adam(0.01) x batch-4 loop over the FULL uncompressed support bank with
+    train-mode BN (recorded permutations replayed), the separate
+    post-adaptation support/query embedding passes, the post-fc
+    pair-averaging, the BN running-stat trajectory, and the first-order
+    outer gradients.  FLOAT64 on both sides."""
+    if "g50ft.loss" not in g:
+        pytest.skip("fixture predates the 50-shot backward goldens; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.methods.gnnnet import GnnNetCfg
+    from mft_tpu.train import steps
+    from mft_tpu.train.inner_loop import InnerLoopCfg, schedule_from_perms
+
+    spec = EpisodeSpec(n_way=2, n_support=4, n_query=16)
+    gcfg = GnnNetCfg(feat_dim=16, n_way=2, n_support=4, support_compress=2)
+    mcfg = steps.MetaFinetuneCfg(epochs=5, batch_size=4, bn_mode="minibatch")
+
+    with jax.enable_x64():
+        params, stats_f = _g50_param_tree(g)
+        params, stats_f = _as_f64(params), _as_f64(stats_f)
+        sched = schedule_from_perms(g["g50ft.perms"], InnerLoopCfg(epochs=5, batch_size=4, bank_size=8))
+
+        rs = np.random.RandomState(889)
+        x = rs.rand(2, 20, 3, 224, 224)
+        ep = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+        key = jax.random.PRNGKey(0)  # unused: the schedule overrides the sampler
+
+        def loss_fn(p):
+            return steps._meta_finetune_episode_loss(
+                p, stats_f, ep, key, method="gnnnet", bcfg=TINY_BCFG, gcfg=gcfg, spec=spec, mcfg=mcfg,
+                schedule=sched,
+            )
+
+        (loss, new_stats), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
+        np.testing.assert_allclose(float(loss), float(g["g50ft.loss"]), rtol=1e-8)
+
+        _, want_stats = _tiny_backbone_trees(_post_stats_view(g, "g50ft.post_stats", "g50"), "g50.feature")
+        _assert_tree_close(new_stats, want_stats, rtol=1e-8, atol_frac=1e-10, label="post_stats")
+
+        gv = _grad_fixture_view(g, "g50ft.grad", "g50")
+        want_feature, _ = _tiny_backbone_trees(gv, "g50.feature")
+        want_fc, want_gnn = _gnnnet_head_trees(gv, "g50")
+        _assert_tree_close(grads["feature"], want_feature, rtol=1e-5, atol_frac=1e-7, label="feature")
+        _assert_tree_close(grads["fc"], want_fc, rtol=1e-5, atol_frac=1e-7, label="fc")
+        _assert_tree_close(grads["gnn"], want_gnn, rtol=1e-5, atol_frac=1e-7, label="gnn")
 
 
 def test_dampnet_train_backward_golden(g):

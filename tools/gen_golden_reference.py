@@ -237,6 +237,11 @@ def gen_meta_finetune_backward(model_gnn):
     for name, p in m.named_parameters():
         if p.grad is not None and not name.startswith(("feature2.", "feature3.")):
             OUT[f"mft.grad.{name}"] = p.grad.detach().numpy().copy()
+    # the BN running-statistic TRAJECTORY: inner minibatch updates persisted
+    # by load_state_dict (gnnnet.py:183-187), then the two outer passes
+    for k, v in m.feature.state_dict().items():
+        if "running" in k:
+            OUT[f"mft.post_stats.{k}"] = v.detach().numpy().copy()
     support_size = E2E_N_WAY * E2E_N_SUPPORT
     np.random.seed(MFT_PERM_SEED)
     OUT["mft.perms"] = np.stack([np.random.permutation(support_size) for _ in range(15)])
@@ -286,8 +291,149 @@ def gen_protonet_finetune_backward(tiny):
     for name, p in m.named_parameters():
         if p.grad is not None and not name.startswith(("feature2.", "feature3.")):
             OUT[f"pnft.grad.{name}"] = p.grad.detach().numpy().copy()
+    # running-stat trajectory incl. the RAGGED inner minibatches (4+2)
+    for k, v in m.feature.state_dict().items():
+        if "running" in k:
+            OUT[f"pnft.post_stats.{k}"] = v.detach().numpy().copy()
     np.random.seed(PNFT_PERM_SEED)
     OUT["pnft.perms"] = np.stack([np.random.permutation(6) for _ in range(5)])
+
+
+PROBE_PERM_SEED = 44
+PROBE_CLF_SEED = 121
+
+
+def gen_probe_adaptation():
+    """The frozen-feature linear probe, executed by the reference itself:
+    ``BaselineFinetune.set_forward_adaptation``
+    (/root/reference/methods/baselinefinetune.py:17-58, identical to
+    meta_template.py:153-186) — 100 epochs x batch 4 (ragged: support 6 ->
+    4+2) of SGD(0.01, momentum=0.9, dampening=0.9, wd=0.001) training an
+    nn.Linear on frozen support features, then scoring the query features.
+    This is the --method baseline eval stage (save_features + test).
+    FLOAT64 (see gen_train_step_backward)."""
+    from methods.baselinefinetune import BaselineFinetune
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    class StubBackbone(nn.Module):
+        final_feat_dim = 16
+
+        def forward(self, x):
+            raise AssertionError("the probe scores pre-extracted features")
+
+    m = BaselineFinetune(StubBackbone, n_way=3, n_support=2)
+    m.n_query = 5
+    gen = torch.Generator().manual_seed(17)
+    feats = torch.randn(3, 7, 16, generator=gen, dtype=torch.float64)
+    OUT["probe.feats"] = feats.numpy()
+
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        torch.manual_seed(PROBE_CLF_SEED)  # the nn.Linear probe init (:27)
+        np.random.seed(PROBE_PERM_SEED)
+        scores = m.set_forward(feats)
+        OUT["probe.scores"] = scores.detach().numpy()
+        # recover the probe init: re-seed and replay the construction
+        torch.manual_seed(PROBE_CLF_SEED)
+        clf = nn.Linear(16, 3)
+        OUT["probe.clf.weight"] = clf.weight.detach().numpy()
+        OUT["probe.clf.bias"] = clf.bias.detach().numpy()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    np.random.seed(PROBE_PERM_SEED)
+    OUT["probe.perms"] = np.stack([np.random.permutation(6) for _ in range(100)])
+
+
+G50_IMG_SEED, G50FT_IMG_SEED = 888, 889
+G50_BN_SEED = 9
+G50FT_PERM_SEED = 47
+G50FT_CLF_SEED = 122
+
+
+def gen_gnnnet50_train_backward(tiny):
+    """The 50-shot compressed episodic TRAIN step's backward pass, executed
+    by the reference itself: ``gnnnet_copy.GnnNet.set_forward_loss(x)``
+    (/root/reference/methods/gnnnet_copy.py:51-78,259-264 + train_loop50,
+    train_50.py:41-45) — full backbone embed, fc projection, POST-projection
+    pair-averaging of the support embeddings (z2.view(n_way,2,s,f).mean(1),
+    :67-70), halved graph build, GNN forward, CE backward.  Records the loss
+    and every parameter gradient.  FLOAT64 (see gen_train_step_backward).
+    Returns the f32 master model for the meta-finetune-50 generator."""
+    import gnnnet_copy as ref_copy
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    gen = torch.Generator().manual_seed(G50_BN_SEED)
+    master = ref_copy.GnnNet(tiny, n_way=E2E_N_WAY, n_support=4)  # eff_support 2
+    randomize_bn(master, gen)
+    put("g50", master)
+
+    import copy
+
+    m = copy.deepcopy(master).double()
+    m.support_label = m.support_label.double()
+    m.train()
+    m.n_query = 16  # train_loop50 sets n_query = x.size(1) - 50 (:86)
+    rs = np.random.RandomState(G50_IMG_SEED)
+    x = torch.from_numpy(rs.rand(E2E_N_WAY, 4 + 16, 3, 224, 224))
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        m.zero_grad(set_to_none=True)
+        loss = m.set_forward_loss(x)
+        loss.backward()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    OUT["g50.loss"] = np.asarray(loss.detach().numpy(), dtype=np.float64)
+    for name, p in m.named_parameters():
+        if p.grad is not None:
+            OUT[f"g50.grad.{name}"] = p.grad.detach().numpy().copy()
+    return master
+
+
+def gen_gnnnet50_finetune_backward(master):
+    """The 50-shot META FINE-TUNING stage, executed by the reference itself:
+    ``gnnnet_copy.GnnNet.set_forward_loss_finetune(x)``
+    (/root/reference/methods/gnnnet_copy.py:135-266 + train_loop_finetune50)
+    — the inner **5-epoch** (:177, vs 15 in the 5-shot gnnnet.py:145)
+    Adam(0.01) x batch-4 loop over the FULL uncompressed support bank with
+    train-mode BN, adapted-weight load, separate support/query embedding
+    passes, post-fc pair-averaging, GNN forward, first-order outer backward.
+    Records loss, minibatch permutations, post-inner running stats, and
+    every outer parameter gradient.  FLOAT64."""
+    import copy
+
+    m = copy.deepcopy(master).double()
+    m.support_label = m.support_label.double()
+    m.train()
+    m.first = True  # single-episode golden: MAML_update is a no-op
+    m.n_query = 16  # gnnnet_copy.py:233 asserts true_n_support + 16
+    rs = np.random.RandomState(G50FT_IMG_SEED)
+    x = torch.from_numpy(rs.rand(E2E_N_WAY, 4 + 16, 3, 224, 224))
+    torch.manual_seed(G50FT_CLF_SEED)  # throwaway-classifier init (zero-grad, unused)
+    np.random.seed(G50FT_PERM_SEED)
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        m.zero_grad(set_to_none=True)
+        loss = m.set_forward_loss_finetune(x)
+        loss.backward()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    OUT["g50ft.loss"] = np.asarray(loss.detach().numpy(), dtype=np.float64)
+    for name, p in m.named_parameters():
+        if p.grad is not None and not name.startswith(("feature2.", "feature3.")):
+            OUT[f"g50ft.grad.{name}"] = p.grad.detach().numpy().copy()
+    for k, v in m.feature.state_dict().items():
+        if "running" in k:
+            OUT[f"g50ft.post_stats.{k}"] = v.detach().numpy().copy()
+    support_size = E2E_N_WAY * 4
+    np.random.seed(G50FT_PERM_SEED)
+    OUT["g50ft.perms"] = np.stack([np.random.permutation(support_size) for _ in range(5)])
 
 
 def gen_dampnet_train_backward(tiny):
@@ -715,6 +861,9 @@ def main():
     gen_train_step_backward(model_gnn)
     gen_meta_finetune_backward(model_gnn)
     gen_protonet_finetune_backward(tiny)
+    gen_probe_adaptation()
+    master50 = gen_gnnnet50_train_backward(tiny)
+    gen_gnnnet50_finetune_backward(master50)
     gen_dampnet_train_backward(tiny)
     gen_baseline_train_backward(tiny)
     gen_dampnet_finetune_e2e(model_damp, tiny)
