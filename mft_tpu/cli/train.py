@@ -158,7 +158,7 @@ def run_episodic(a, manifest, aug_cfg, bcfg, gcfg, spec, params, stats, tx, opt_
     e_batch = a.episode_batch
     dt = aug.pipeline_dtype(bcfg.compute_dtype)
     method = "protonet" if a.method == "protonet" else "gnnnet"
-    mcfg = steps.MetaFinetuneCfg(epochs=15 if method == "gnnnet" else 5, batch_size=4, bn_mode=a.bn_mode)
+    mcfg = steps.MetaFinetuneCfg(epochs=steps.inner_epochs(method, gcfg), batch_size=4, bn_mode=a.bn_mode)
 
     @jax.jit
     def step(params, stats, opt_state, base_eps, key):

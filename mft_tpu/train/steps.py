@@ -47,6 +47,18 @@ class MetaFinetuneCfg(NamedTuple):
     bn_mode: str = "episode"  # 'episode' fast trunk precompute | 'minibatch'
 
 
+def inner_epochs(method: str, gcfg) -> int:
+    """The reference's --fine_tune inner-epoch schedule: 15 for GnnNet
+    (gnnnet.py:145) but 5 for BOTH ProtoNet (protonet.py:105) and the
+    50-shot compressed variant (gnnnet_copy.py:177); golden-verified by
+    test_gnnnet50_finetune_backward_golden."""
+    if method != "gnnnet":
+        return 5
+    if gcfg is not None and getattr(gcfg, "support_compress", 1) > 1:
+        return 5
+    return 15
+
+
 # --------------------------------------------------------------------------
 # baseline supervised pretraining
 # --------------------------------------------------------------------------

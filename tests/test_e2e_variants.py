@@ -59,6 +59,23 @@ def test_train50_and_finetune50_wrappers(save_dir, capsys):
     assert GnnNetCfg(n_support=50, support_compress=2).eff_support == 25
 
 
+def test_train50_finetune_stage(save_dir):
+    """train_50 --fine_tune at a REAL n_shot=50: the compressed 130-node
+    graph AND the 5-epoch inner schedule (gnnnet_copy.py:177; the 5-shot
+    stage uses 15) end to end through the CLI.  The synthetic classes hold
+    48 images, so the sampler's tiny-class replacement fallback covers the
+    50+16 per-class draw."""
+    from mft_tpu.cli import train_50 as tr50
+
+    args = COMMON + ["--method", "gnnnet", "--n_shot", "50",
+                     "--episodes_per_epoch", "1"]
+    tr50.main(args + ["--stop_epoch", "0"])
+    d = save_dir / "checkpoints" / "synthetic" / "ResNet10_gnnnet_5way_50shot"
+    assert os.path.exists(d / "0.ckpt")
+    tr50.main(args + ["--start_epoch", "1", "--stop_epoch", "1", "--fine_tune"])
+    assert os.path.exists(d / "1.ckpt")
+
+
 def test_resnet10_fw_trains(save_dir):
     """--model ResNet10_FW: the feature-wise-transformation backbone
     (sampled per-channel affine noise, reference backbone.py:314-350)

@@ -265,6 +265,33 @@ def test_simple_block2_eval_mode_golden(g):
     np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
 
 
+def test_fwt_train_mode_golden(g):
+    """FeatureWiseTransformation2d_fw in TRAIN mode vs the reference's own
+    forward (backbone.py:333-350): batch-stats BN + running-stat update,
+    then ``(1 + eps_g*softplus100(gamma))*out + eps_b*softplus100(beta)``
+    replaying the reference's EXACT captured noise draws.  The eval-mode
+    reduction is covered by test_simple_block2_eval_mode_golden; this pins
+    the sampled-noise math and the beta=100 softplus."""
+    if "fwt.x" not in g:
+        pytest.skip("fixture predates the FWT train-mode golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.ops.norm import batch_norm, softplus100
+
+    with jax.enable_x64():
+        x = jnp.asarray(np.transpose(g["fwt.x"], (0, 2, 3, 1)))  # NCHW->NHWC, f64
+        p = {"scale": jnp.asarray(g["fwt.weight"]), "bias": jnp.asarray(g["fwt.bias"])}
+        s = {"mean": jnp.asarray(g["fwt.running_mean"]), "var": jnp.asarray(g["fwt.running_var"])}
+        out, new_s = batch_norm(x, p, s, use_batch_stats=True, update_stats=True, momentum=0.1)
+        gamma = 1.0 + jnp.asarray(g["fwt.eps_gamma"]) * softplus100(jnp.asarray(g["fwt.gamma"]).reshape(-1))
+        beta = jnp.asarray(g["fwt.eps_beta"]) * softplus100(jnp.asarray(g["fwt.beta"]).reshape(-1))
+        y = gamma * out + beta
+        want = np.transpose(g["fwt.y_train"], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(new_s["mean"]), g["fwt.updated.running_mean"], rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(new_s["var"]), g["fwt.updated.running_var"], rtol=1e-10)
+
+
 def test_dampnet_prototype_branches_golden(g):
     """The PROTOTYPE DampNet variant vs the reference's own methods/dampnet.py
     set_forward: the plain branch with the mean-center/L2-norm projection

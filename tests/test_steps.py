@@ -128,3 +128,14 @@ def test_fwt_params_frozen_by_masked_tx():
     # while the trainable params did move (the noise DOES produce gradients
     # that the mask must be suppressing, not a zero-gradient coincidence)
     assert not np.allclose(np.asarray(blk1["conv1"]), np.asarray(blk["conv1"]))
+
+
+def test_inner_epochs_schedule():
+    """The --fine_tune inner-epoch schedule: 15 for GnnNet (gnnnet.py:145),
+    5 for ProtoNet (protonet.py:105) AND for the 50-shot compressed variant
+    (gnnnet_copy.py:177)."""
+    plain = gn.GnnNetCfg(feat_dim=16, n_way=5, n_support=5)
+    compressed = gn.GnnNetCfg(feat_dim=16, n_way=5, n_support=50, support_compress=2)
+    assert steps.inner_epochs("gnnnet", plain) == 15
+    assert steps.inner_epochs("gnnnet", compressed) == 5
+    assert steps.inner_epochs("protonet", None) == 5

@@ -634,6 +634,53 @@ def gen_simple_block2():
         OUT["simple_block2.y_eval"] = block(x).numpy()
 
 
+def gen_fwt_train_mode():
+    """FeatureWiseTransformation2d_fw in TRAIN mode (reference
+    backbone.py:333-350): batch-stats BN (+ running-stat update), then
+    ``out = (1 + eps_g*softplus(gamma, beta=100))*out + eps_b*softplus(beta)``
+    with per-channel standard-normal draws.  The draws are captured by
+    intercepting ``torch.randn`` so the jax test replays the EXACT same
+    noise (the RNG mapping itself is a documented deviation; the math given
+    the draws is what this pins).  FLOAT64."""
+    import backbone as ref_bb
+
+    gen = torch.Generator().manual_seed(11)
+    layer = ref_bb.FeatureWiseTransformation2d_fw(6).double()
+    with torch.no_grad():
+        layer.weight.uniform_(0.5, 1.5, generator=gen)
+        layer.bias.uniform_(-0.3, 0.3, generator=gen)
+        layer.running_mean.uniform_(-0.5, 0.5, generator=gen)
+        layer.running_var.uniform_(0.5, 1.5, generator=gen)
+        layer.gamma.uniform_(0.1, 0.6, generator=gen)
+        layer.beta.uniform_(0.2, 0.8, generator=gen)
+    x = torch.randn(4, 6, 5, 5, generator=gen, dtype=torch.float64)
+    put("fwt", layer)
+    OUT["fwt.x"] = x.numpy()
+
+    draws = []
+    real_randn = torch.randn
+
+    def recording_randn(*shape, dtype=None, device=None):
+        g2 = torch.Generator().manual_seed(500 + len(draws))
+        t = real_randn(*shape, generator=g2, dtype=dtype)
+        draws.append(t.detach().numpy().copy().reshape(-1))
+        return t
+
+    layer.train()
+    torch.randn = recording_randn
+    try:
+        with torch.no_grad():
+            y = layer(x)
+    finally:
+        torch.randn = real_randn
+    assert len(draws) == 2, draws
+    OUT["fwt.y_train"] = y.numpy()
+    OUT["fwt.eps_gamma"], OUT["fwt.eps_beta"] = draws
+    for k, v in layer.state_dict().items():
+        if "running" in k:
+            OUT[f"fwt.updated.{k}"] = v.detach().numpy().copy()
+
+
 def gen_dampnet_prototype():
     """The PROTOTYPE DampNet variant (reference methods/dampnet.py — the
     ``--method dampnet`` model): the plain 'first' branch with the
@@ -869,6 +916,7 @@ def main():
     gen_dampnet_finetune_e2e(model_damp, tiny)
     gen_dampnet_prototype()
     gen_simple_block2()
+    gen_fwt_train_mode()
     import os
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests", "fixtures", "golden_reference.npz")
