@@ -235,6 +235,79 @@ def test_dampnet_domain_shift_full(g):
     np.testing.assert_allclose(np.asarray(scores), g["dampnet.scores"], rtol=1e-3, atol=1e-4)
 
 
+def test_dampnet_unsup_golden(g):
+    """The ``--unsupervised`` recovery path vs the reference's own
+    ``set_forward_unsup(x, x_u_mean, x_u_std, is_feature=True)``
+    (dampnet_full_class.py:355-402): the recovery NTN conditioned on
+    external unlabeled-set stats instead of the episode's support stats,
+    then fc + graph scoring."""
+    if "dunsup.feats" not in g:
+        pytest.skip("fixture predates the unsup golden; rerun tools/gen_golden_reference.py")
+    from mft_tpu.methods import dampnet as dn
+
+    params = _dampnet_param_tree(g, "dampnet")
+    state = {
+        "proto_mean": jnp.asarray(g["dampnet.proto_mean"]),
+        "proto_std": jnp.asarray(g["dampnet.proto_std"]),
+        "initialized": jnp.ones((), jnp.bool_),
+    }
+    cfg = dn.DampNetCfg(feat_dim=16, n_way=3, n_support=2, stat="class")
+    scores = dn.dampnet_scores(
+        params, state, jnp.asarray(g["dunsup.feats"]), cfg, 15, mode="unsup",
+        unsup_stats=(jnp.asarray(g["dunsup.x_u_mean"]), jnp.asarray(g["dunsup.x_u_std"])),
+    )
+    np.testing.assert_allclose(np.asarray(scores), g["dunsup.scores"], rtol=1e-3, atol=1e-4)
+
+
+def test_dampnet_adaptation_full_golden(g):
+    """The dampnet linear-probe eval member vs the reference's own
+    ``set_forward_adaptation_full(x, is_feature=True)``
+    (dampnet_full_class.py:471-548): recovery from the episode's CLASS
+    statistics, fc projection to gnn_dim=128, then the 100-epoch x batch-4
+    (ragged 4+2) reference-SGD probe on the projected support, scoring the
+    projected query — replaying the recorded permutations and probe init.
+    FLOAT64 on both sides."""
+    if "dadapt.feats" not in g:
+        pytest.skip("fixture predates the adaptation_full golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec, support_labels
+    from mft_tpu.methods import dampnet as dn
+    from mft_tpu.methods.baseline import ce_loss, classifier_logits
+    from mft_tpu.train.inner_loop import InnerLoopCfg, inner_fit, schedule_from_perms
+    from mft_tpu.train.optimizers import reference_probe_sgd
+
+    spec = EpisodeSpec(n_way=3, n_support=2, n_query=15)
+    cfg = dn.DampNetCfg(feat_dim=16, n_way=3, n_support=2, stat="class")
+
+    with jax.enable_x64():
+        params = _as_f64(_dampnet_param_tree(g, "dampnet"))
+        state = {
+            "proto_mean": jnp.asarray(g["dampnet.proto_mean"]).astype(jnp.float64),
+            "proto_std": jnp.asarray(g["dampnet.proto_std"]).astype(jnp.float64),
+            "initialized": jnp.ones((), jnp.bool_),
+        }
+        feats = jnp.asarray(g["dadapt.feats"])
+        proj = dn.recovered_projection(params, state, feats, cfg)  # [3, 17, 128]
+        z_support = proj[:, : spec.n_support].reshape(spec.support_size, -1)
+        z_query = proj[:, spec.n_support :].reshape(spec.query_size, -1)
+        y = support_labels(spec)
+        head0 = _as_f64(lin_mat(g["dadapt.clf.weight"], g["dadapt.clf.bias"]))
+        icfg = InnerLoopCfg(epochs=100, batch_size=4, bank_size=spec.support_size)
+        sched = schedule_from_perms(g["dadapt.perms"], icfg)
+
+        def loss_fn(p, idx, w):
+            return ce_loss(classifier_logits(p, z_support[idx]), y[idx], w)
+
+        @jax.jit
+        def run(head):
+            head = inner_fit(loss_fn, head, reference_probe_sgd(0.01), jax.random.PRNGKey(0), icfg, schedule=sched)
+            return classifier_logits(head, z_query)
+
+        scores = np.asarray(run(head0))
+        np.testing.assert_allclose(scores, g["dadapt.scores"], rtol=1e-6, atol=1e-8)
+
+
 def test_simple_block2_eval_mode_golden(g):
     """SimpleBlock2 (reference backbone.py:90-130, the ResNet10_FW block) in
     eval mode: the FWT layers reduce to plain running-stat BN; verifies the

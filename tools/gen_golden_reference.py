@@ -588,6 +588,71 @@ def gen_dampnet_domain_shift():
     return m
 
 
+DUNSUP_SEED = 55
+DADAPT_FEAT_SEED = 56
+DADAPT_PERM_SEED = 66
+DADAPT_CLF_SEED = 123
+
+
+def gen_dampnet_unsup(model_damp):
+    """The ``--unsupervised`` recovery path, executed by the reference
+    itself: ``set_forward_unsup(x, x_u_mean, x_u_std, is_feature=True)``
+    (/root/reference/methods/dampnet_full_class.py:355-402) — the recovery
+    NTN conditioned on EXTERNAL unlabeled-set statistics instead of the
+    episode's own support stats, then fc projection + graph scoring."""
+    import copy
+
+    m = copy.deepcopy(model_damp)
+    m.train()
+    m.n_query = 15
+    gen = torch.Generator().manual_seed(DUNSUP_SEED)
+    x_u_mean = torch.randn(16, generator=gen)
+    x_u_std = torch.randn(16, generator=gen).abs() + 0.5
+    feats = torch.randn(3, 2 + 15, 16, generator=gen)
+    OUT["dunsup.feats"] = feats.numpy()
+    OUT["dunsup.x_u_mean"] = x_u_mean.numpy()
+    OUT["dunsup.x_u_std"] = x_u_std.numpy()
+    with torch.no_grad():
+        OUT["dunsup.scores"] = m.set_forward_unsup(feats, x_u_mean, x_u_std, is_feature=True).numpy()
+
+
+def gen_dampnet_adaptation_full(model_damp):
+    """The dampnet linear-probe eval member, executed by the reference
+    itself: ``set_forward_adaptation_full(x, is_feature=True)``
+    (/root/reference/methods/dampnet_full_class.py:471-548) — recovery from
+    the episode's class statistics, fc projection to gnn_dim=128, then a
+    100-epoch x batch-4 (ragged 4+2) reference-SGD probe on the projected
+    support, scoring the projected query.  FLOAT64 (the 2,500-step SGD
+    recursion needs both sides at the f64 noise floor)."""
+    import copy
+
+    m = copy.deepcopy(model_damp).double()
+    m.support_label = m.support_label.double()
+    m.final_meta_prototype = m.final_meta_prototype.double()
+    m.final_meta_prototype_std = m.final_meta_prototype_std.double()
+    m.train()
+    m.n_query = 15
+    gen = torch.Generator().manual_seed(DADAPT_FEAT_SEED)
+    feats = torch.randn(3, 2 + 15, 16, generator=gen, dtype=torch.float64)
+    OUT["dadapt.feats"] = feats.numpy()
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        torch.manual_seed(DADAPT_CLF_SEED)  # the nn.Linear probe init (:523)
+        np.random.seed(DADAPT_PERM_SEED)
+        scores = m.set_forward_adaptation_full(feats, is_feature=True)
+        OUT["dadapt.scores"] = scores.detach().numpy()
+        # recover the probe init: re-seed and replay the construction
+        torch.manual_seed(DADAPT_CLF_SEED)
+        clf = nn.Linear(m.gnn_dim, 3)
+        OUT["dadapt.clf.weight"] = clf.weight.detach().numpy()
+        OUT["dadapt.clf.bias"] = clf.bias.detach().numpy()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+    np.random.seed(DADAPT_PERM_SEED)
+    OUT["dadapt.perms"] = np.stack([np.random.permutation(6) for _ in range(100)])
+
+
 def gen_optimizers():
     """torch.optim.Adam(lr=0.01, weight_decay=0.001) — the eval fine-tune
     head optimizer (finetune.py:109,240) — and torch.optim.SGD(lr=0.01,
@@ -902,6 +967,8 @@ def main():
     gen_gnnnet_set_forward()
     gen_gnnnet50_set_forward()
     model_damp = gen_dampnet_domain_shift()
+    gen_dampnet_unsup(model_damp)
+    gen_dampnet_adaptation_full(model_damp)
     gen_optimizers()
     gen_bottleneck_block()
     model_gnn, tiny = gen_finetune_e2e()
