@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
+import weakref
 
 import numpy as np
 
@@ -99,8 +100,12 @@ class EpisodeStream:
         self.workers = workers
         self.prefetch = prefetch
         # one persistent decode pool for the stream's lifetime (a fresh pool
-        # per episode churns worker threads on the hot input path)
+        # per episode churns worker threads on the hot input path); released
+        # when the stream is dropped — the drivers build one stream per
+        # epoch, and without this a 600-epoch run strands ~16 idle threads
+        # per epoch
         self._decode_pool = cf.ThreadPoolExecutor(self.workers)
+        weakref.finalize(self, self._decode_pool.shutdown, wait=False)
         self._cache_path = None
         if cache_dir:
             key = self._cache_key(manifest, spec, n_episodes, seed, base_size)

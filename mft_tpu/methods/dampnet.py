@@ -284,9 +284,16 @@ def sample_corruption(key, x: jnp.ndarray, feat_dim: int, *, prototype: bool = F
     t_bias = jax.random.t(jax.random.fold_in(key, 99), 5.0, (f,)) + ad_sub
     t_bias = -t_sample[:, rand_col] + t_bias
 
-    add_vals = jnp.where(sel_mask, t_sample[ri, ri2], 0.0)
-    corruption = corruption.at[ri, ri2].set(corruption[ri, ri2] + add_vals)
-    bias = jnp.zeros((f,)).at[ri2].set(jnp.where(sel_mask, t_bias[ri2], 0.0))
+    # Scatter ONLY the selected lanes (the out-of-bounds sentinel is dropped):
+    # an unselected lane writing its base/zero value to an index that a
+    # selected lane also writes would cancel it or not depending on scatter
+    # duplicate order (undefined), whereas the reference applies every
+    # selected index deterministically (duplicates once — numpy buffered +=,
+    # with identical per-index values, so .set matches).
+    sel_ri = jnp.where(sel_mask, ri, f)
+    sel_ri2 = jnp.where(sel_mask, ri2, f)
+    corruption = corruption.at[sel_ri, sel_ri2].set(corruption[ri, ri2] + t_sample[ri, ri2], mode="drop")
+    bias = jnp.zeros((f,)).at[sel_ri2].set(t_bias[ri2], mode="drop")
 
     corrupt_x = x @ corruption + (m_fac * bias if scale_bias else bias)
     return jax.lax.stop_gradient(corrupt_x)
@@ -295,7 +302,14 @@ def sample_corruption(key, x: jnp.ndarray, feat_dim: int, *, prototype: bool = F
 def _fc_gnn_scores(params, z_episode: jnp.ndarray, cfg: DampNetCfg, n_query: int, freeze_head: bool):
     head = {"fc": params["fc"], "gnn": params["gnn"]}
     if freeze_head:
-        head = jax.lax.stop_gradient(head)
+        # the reference corrupt step pins ONLY fc[0].weight/bias
+        # (dampnet_full.py:187-189, dampnet_full_class.py:199-201);
+        # ``gnn.eval()`` is numerically a no-op for its stat-free BNs, so the
+        # GNN params and the fc BN affine still receive gradients and train
+        head = {
+            "fc": {**head["fc"], "linear": jax.lax.stop_gradient(head["fc"]["linear"])},
+            "gnn": head["gnn"],
+        }
     zt = (lambda z: znorm_projection(z, cfg.n_support)) if cfg.variant == "prototype" else None
     return gnn_scores(head, z_episode, cfg.gnn_cfg, n_query, z_transform=zt)
 
@@ -310,6 +324,7 @@ def dampnet_scores(
     mode: str,
     key=None,
     unsup_stats=None,
+    corrupt_x=None,
 ):
     """Score an episode of backbone features ``[n_way, s+q, feat]``.
 
@@ -317,11 +332,17 @@ def dampnet_scores(
       'plain'        — no recovery (pre-prototype warmup,
                        dampnet_full_class.py:125-144),
       'corrupt'      — training odd step: corrupt features, recover, score
-                       with fc/GNN frozen (:145-218),
+                       with fc[0] frozen (:145-218; the prototype variant
+                       freezes nothing),
       'recover'      — training even step: recover clean features (:219-261),
       'domain_shift' — eval-time recovery vs source prototypes (:262-352),
       'unsup'        — recovery conditioned on external unlabeled stats
                        ``unsup_stats=(mean, std)`` (:355-402).
+
+    ``corrupt_x``: externally supplied corrupted features ``[n_way*slots,
+    feat]`` for mode='corrupt', bypassing :func:`sample_corruption` — used to
+    replay the reference's recorded np.random corruption draws in the golden
+    tests.
     """
     n_way, slots, f = feats_episode.shape
     flat = feats_episode.reshape(n_way * slots, f)
@@ -345,8 +366,11 @@ def dampnet_scores(
         src_state = state
 
     if mode == "corrupt":
-        assert key is not None
-        corrupt = sample_corruption(key, flat, f, prototype=proto)
+        if corrupt_x is None:
+            assert key is not None
+            corrupt = sample_corruption(key, flat, f, prototype=proto)
+        else:
+            corrupt = jax.lax.stop_gradient(corrupt_x)
         c_episode = corrupt.reshape(n_way, slots, f)
         c_mean, c_std = episode_stats(c_episode, cfg._replace(stat="support"))
         mult, add = recovery(params, src_state, jax.lax.stop_gradient(c_mean), jax.lax.stop_gradient(c_std))

@@ -82,8 +82,14 @@ def test_corrupt_mode_freezes_head_gradients():
 
     g_corrupt = jax.jit(jax.grad(lambda p: loss(p, "corrupt")))(params)
     g_recover = jax.jit(jax.grad(lambda p: loss(p, "recover")))(params)
-    # corrupt step: fc/gnn frozen, recovery nets train (dampnet_full.py:187-189)
+    # corrupt step: ONLY fc[0].weight/bias are pinned (dampnet_full.py:187-188,
+    # dampnet_full_class.py:199-200); gnn.eval() (:189) is a numeric no-op for
+    # its stat-free BNs, so the GNN, the fc BN affine, and the recovery nets
+    # all still receive gradients
     assert float(jnp.abs(g_corrupt["fc"]["linear"]["w"]).max()) == 0.0
+    assert float(jnp.abs(g_corrupt["fc"]["linear"]["b"]).max()) == 0.0
+    assert float(jnp.abs(g_corrupt["fc"]["bn"]["scale"]).max()) > 0.0
+    assert max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g_corrupt["gnn"])) > 0.0
     assert float(jnp.abs(g_corrupt["layer1"]["w"]).max()) > 0.0
     # recover step: fc/gnn train too
     assert float(jnp.abs(g_recover["fc"]["linear"]["w"]).max()) > 0.0
@@ -170,6 +176,29 @@ def test_prototype_corruption_bias_unscaled():
     # the live prototype path is the unscaled one
     default = np.asarray(dn.sample_corruption(k, zeros, 32, prototype=True))
     np.testing.assert_array_equal(default, unscaled)
+
+
+def test_corruption_scatter_ignores_unselected_lanes():
+    """Only the floor(perc*f) SELECTED index lanes may write the corruption
+    bias (reference dampnet.py:164 applies exactly random_idx2); an
+    unselected lane's zero write colliding with a selected index must not
+    cancel it (scatter duplicate order is undefined).  On zero input the
+    output IS the bias, so its support must equal the selected index set."""
+    import math as _math
+
+    f = 64
+    key = jax.random.PRNGKey(7)
+    out = np.asarray(dn.sample_corruption(key, jnp.zeros((1, f)), f, prototype=True))[0]
+    # replicate the function's index draws (same key-split sequence)
+    ks = jax.random.split(key, 9)
+    ri2 = np.asarray(jax.random.randint(ks[5], (f,), 0, f))
+    n_sel = _math.floor(0.6 * f)
+    selected = set(ri2[:n_sel].tolist())
+    # discriminating setup: the unselected suffix must collide with the
+    # selected prefix, else the old buggy scatter would pass trivially
+    assert selected & set(ri2[n_sel:].tolist())
+    nonzero = set(np.nonzero(out)[0].tolist())
+    assert nonzero == selected  # t-samples are continuous: P(exact 0) = 0
 
 
 def test_prototype_variant_scores_and_gradients():

@@ -108,6 +108,22 @@ def test_episode_stream_shapes(tmp_path):
     assert classes.shape == (3,)
 
 
+def test_episode_stream_releases_decode_pool():
+    """Dropping a stream shuts its persistent decode pool down — the drivers
+    build one stream per EPOCH, so leaked pools would strand ~16 idle threads
+    per epoch over a 600-epoch run."""
+    import gc
+
+    m = mf.synthetic(n_classes=4, per_class=6)
+    stream = EpisodeStream(m, EpisodeSpec(2, 2, 1), n_episodes=2, base_size=32, workers=4)
+    pool = stream._decode_pool
+    list(stream)  # exercise the pool
+    assert not pool._shutdown
+    del stream
+    gc.collect()
+    assert pool._shutdown
+
+
 def test_episode_stream_cache_roundtrip(tmp_path):
     """The decoded-episode cache returns byte-identical episodes on re-runs
     (decode skipped entirely) and invalidates on any key change."""

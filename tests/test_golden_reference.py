@@ -390,6 +390,79 @@ def test_dampnet_prototype_branches_golden(g):
         np.testing.assert_allclose(np.asarray(scores), g[f"dproto.{key}"], rtol=1e-3, atol=1e-4, err_msg=mode)
 
 
+def test_dampnet_prototype_corrupt_golden(g):
+    """The prototype variant's odd-count CORRUPTION branch vs the reference's
+    own run (dampnet.py:138-209), replaying the recorded np.random corruption
+    draws through ``corrupt_x``: corrupt-support stats (std over all support
+    features) vs the rolling-store prototypes, both NTNs, mult/add recovery
+    of the CORRUPTED features, znorm projection, GNN scoring."""
+    if "dproto.corrupt_x" not in g:
+        pytest.skip("fixture predates the prototype-corrupt golden; rerun tools/gen_golden_reference.py")
+    from mft_tpu.methods import dampnet as dn
+
+    params = _dampnet_param_tree(g, "dproto")
+    cfg = dn.prototype_cfg(feat_dim=16, n_way=3, n_support=2)
+    state = {
+        "proto_mean": jnp.asarray(g["dproto.proto_mean"]),
+        "proto_std": jnp.asarray(g["dproto.proto_std"]),
+        "initialized": jnp.ones((), jnp.bool_),
+        "store_mean": jnp.asarray(g["dproto.store_mean"]),
+        "store_std": jnp.asarray(g["dproto.store_std"]),
+        "count": jnp.full((), 151, jnp.int32),
+    }
+    scores = dn.dampnet_scores(
+        params, state, jnp.asarray(g["dproto.feats"]), cfg, 15, mode="corrupt",
+        corrupt_x=jnp.asarray(g["dproto.corrupt_x"]),
+    )
+    np.testing.assert_allclose(np.asarray(scores), g["dproto.scores_corrupt"], rtol=1e-3, atol=1e-4)
+
+
+def test_dampnet_corrupt_backward_golden(g):
+    """The dampnet_full_class CORRUPTION training step's backward pass vs the
+    reference's own ``set_forward_loss(x).backward()`` through the odd-count
+    branch (dampnet_full_class.py:145-218), replaying the recorded corruption
+    draws: corrupt-support stats vs the FIXED final prototypes, recovery,
+    fc+GNN scoring, CE.  Pins the freeze semantics: ONLY fc[0].weight/bias
+    are pinned (:199-200); ``gnn.eval()`` (:201) is a numeric no-op for the
+    stat-free BNs, so the GNN, the fc BN affine, and the recovery nets all
+    receive real gradients.  FLOAT64 on both sides."""
+    if "dcorrupt.loss" not in g:
+        pytest.skip("fixture predates the corrupt-backward golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.methods import dampnet as dn
+
+    dcfg = dn.DampNetCfg(feat_dim=16, n_way=3, n_support=2, stat="class")
+    with jax.enable_x64():
+        params = _as_f64(_dampnet_param_tree(g, "dcorrupt"))
+        state = {
+            "proto_mean": jnp.asarray(g["dcorrupt.proto_mean"], jnp.float64),
+            "proto_std": jnp.asarray(g["dcorrupt.proto_std"], jnp.float64),
+            "initialized": jnp.ones((), jnp.bool_),
+        }
+        feats = jnp.asarray(g["dcorrupt.feats"], jnp.float64)
+        cx = jnp.asarray(g["dcorrupt.corrupt_x"], jnp.float64)
+
+        def loss_fn(p):
+            scores = dn.dampnet_scores(p, state, feats, dcfg, 5, mode="corrupt", corrupt_x=cx)
+            return dn.dampnet_loss(scores, 3, 5)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        np.testing.assert_allclose(float(loss), float(g["dcorrupt.loss"]), rtol=1e-9)
+
+        # fc[0] is frozen: exactly-zero grads here, no fixture entries there
+        assert float(jnp.abs(grads["fc"]["linear"]["w"]).max()) == 0.0
+        assert float(jnp.abs(grads["fc"]["linear"]["b"]).max()) == 0.0
+        gv = _grad_fixture_view(g, "dcorrupt.grad", "dcorrupt")
+        gv["dcorrupt.fc.0.weight"] = np.zeros_like(g["dcorrupt.fc.0.weight"])
+        gv["dcorrupt.fc.0.bias"] = np.zeros_like(g["dcorrupt.fc.0.bias"])
+        want = _dampnet_param_tree(gv, "dcorrupt")
+        # the unfrozen head + recovery grads must be genuinely live
+        assert float(np.abs(gv["dcorrupt.fc.1.weight"]).max()) > 0.0
+        assert float(np.abs(gv["dcorrupt.layer1.weight"]).max()) > 0.0
+        _assert_tree_close(grads, want, rtol=1e-6, atol_frac=1e-8, label="grads")
+
+
 # --------------------------------------------------------------------------
 # BottleneckBlock (reference backbone.py:264-311)
 # --------------------------------------------------------------------------

@@ -752,8 +752,7 @@ def gen_dampnet_prototype():
     mean-center/L2-norm projection (:121-137), the even-count 'recover'
     branch driven by the rolling-store prototypes (:210-249), and the
     domain-shift eval branch (:250-291).  The odd-count corruption branch
-    draws np.random inside and cannot be replayed cross-RNG; its math is
-    covered by the shared recovery/znorm goldens here."""
+    is covered by gen_dampnet_prototype_corrupt (recorded-draw replay)."""
     import dampnet as ref_dn
 
     torch.Tensor.cuda = lambda self, *a, **k: self
@@ -804,6 +803,174 @@ def gen_dampnet_prototype():
     OUT["dproto.proto_std"] = m.final_meta_prototype_std.numpy()
     with torch.no_grad():
         OUT["dproto.scores_ds"] = m.set_forward(feats, is_feature=True, domain_shift=True).numpy()
+    return m
+
+
+class _NpRandomRecorder:
+    """Record the np.random draws a reference corruption branch makes
+    (dampnet.py:149-160 / dampnet_full_class.py:149-168) so the drawn
+    corruption matrix + bias can be reconstructed and replayed through the
+    JAX side (whose Philox RNG cannot reproduce MT19937 streams)."""
+
+    NAMES = ("random_sample", "shuffle", "choice", "standard_t")
+
+    def __enter__(self):
+        self.rec = {n: [] for n in self.NAMES}
+        self._orig = {n: getattr(np.random, n) for n in self.NAMES}
+        for n in self.NAMES:
+            setattr(np.random, n, self._wrap(n))
+        return self.rec
+
+    def _wrap(self, name):
+        orig, rec = self._orig[name], self.rec[name]
+
+        def f(*a, **k):
+            out = orig(*a, **k)
+            # shuffle mutates in place and returns None: record the result
+            rec.append(np.array(a[0] if name == "shuffle" else out))
+            return out
+
+        return f
+
+    def __exit__(self, *exc):
+        for n, fn in self._orig.items():
+            setattr(np.random, n, fn)
+
+
+def _reconstruct_corruption(rec, f: int, m_fac: float):
+    """Corruption matrix + (unscaled) bias from recorded draws — the same
+    composition as reference dampnet.py:149-164 (numpy fancy += applies
+    duplicate indices once, which numpy reproduces here natively)."""
+    one_zeros, ad_sub = rec["shuffle"]
+    random_idx, random_idx2, rand_idx_col = (a.astype(int) for a in rec["choice"])
+    t_sample = m_fac * rec["standard_t"][0].reshape(f, f)
+    t_bias = -np.squeeze(t_sample[:, rand_idx_col]) + rec["standard_t"][1] + ad_sub
+    corruption = np.diag(one_zeros)
+    corruption[random_idx, random_idx2] += t_sample[random_idx, random_idx2]
+    bias = np.zeros(f)
+    bias[random_idx2] += t_bias[random_idx2]
+    return corruption, bias
+
+
+class _CaptureCorruptionMatmul:
+    """Capture the square matrix passed to the corruption branch's single
+    python-level ``torch.matmul`` (generator self-check for the recorded-draw
+    reconstruction)."""
+
+    def __init__(self, f: int):
+        self.f, self.captured = f, []
+
+    def __enter__(self):
+        self._orig = torch.matmul
+
+        def mm(a, b, *args, **kw):
+            if isinstance(b, torch.Tensor) and b.dim() == 2 and b.shape[0] == b.shape[1] == self.f:
+                self.captured.append(b.detach().clone())
+            return self._orig(a, b, *args, **kw)
+
+        torch.matmul = mm
+        return self
+
+    def __exit__(self, *exc):
+        torch.matmul = self._orig
+
+
+def gen_dampnet_prototype_corrupt(m):
+    """The prototype variant's odd-count CORRUPTION branch, executed by the
+    reference itself (dampnet.py:138-209): fixed constants perc=0.6/
+    perc_zeros=0.3/m_fac=1.5, the drawn diagonal + t-distributed corruption
+    (bias added UNscaled, :166), corrupt-support stats vs the rolling-store
+    prototypes through both NTNs, mult/add recovery, znorm projection, GNN
+    scoring — with NO head freezing (unlike the full family).  The drawn
+    corruption is recorded and replayed through ``dampnet_scores(mode=
+    'corrupt', corrupt_x=...)``."""
+    f = 16
+    feats = torch.from_numpy(OUT["dproto.feats"])
+    m.first = False
+    m.call_count = 151  # odd -> the corruption branch
+    m.meta_store_mean = torch.from_numpy(OUT["dproto.store_mean"]).clone()
+    m.meta_store_std = torch.from_numpy(OUT["dproto.store_std"]).clone()
+    np.random.seed(4242)
+    with _NpRandomRecorder() as rec, _CaptureCorruptionMatmul(f) as cap, torch.no_grad():
+        scores = m.set_forward(feats.view(3, 17, f), is_feature=False)
+    corruption, bias = _reconstruct_corruption(rec, f, m_fac=1.5)
+    assert len(cap.captured) == 1
+    np.testing.assert_allclose(corruption, cap.captured[0].numpy(), rtol=1e-6)
+    assert rec["random_sample"] == []  # the prototype constants are pinned
+    # dampnet.py:165-166: corrupt_x = x @ C + bias (unscaled)
+    OUT["dproto.corrupt_x"] = (feats.view(-1, f).numpy().astype(np.float64) @ corruption + bias).astype(np.float32)
+    OUT["dproto.scores_corrupt"] = scores.numpy()
+
+
+def gen_dampnet_corrupt_backward():
+    """The dampnet_full_class CORRUPTION training step's backward pass,
+    executed by the reference itself (dampnet_full_class.py:145-218):
+    sampled perc/perc_zeros/m_fac, the drawn corruption (bias scaled by
+    m_fac, :174), corrupt-support stats vs the FIXED final prototypes,
+    recovery, fc+GNN scoring with ``fc[0].weight/bias.requires_grad=False``
+    and ``gnn.eval()`` (:199-201 — a numeric no-op for the stat-free BNs:
+    the GNN and the fc BN affine still receive gradients), CE, backward.
+    FLOAT64 on both sides; the reference's ``.float()`` casts are redirected
+    to the default dtype so the f64 run keeps full precision (they are
+    no-ops in the reference's own f32 execution)."""
+    import dampnet_full_class as ref_damp
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    class IdentityBackbone(nn.Module):
+        final_feat_dim = 16
+
+        def forward(self, x):
+            return x
+
+    f = 16
+    gen = torch.Generator().manual_seed(41)
+    torch.manual_seed(79)
+    m = ref_damp.DampNet(IdentityBackbone, n_way=3, n_support=2)
+    randomize_bn(m, gen)
+    put("dcorrupt", m)
+    m = m.double()
+    m.support_label = m.support_label.double()
+    m.train()
+    m.n_query = 5
+    m.call_count = 151  # odd -> the corruption branch
+    m.final_meta_prototype = torch.randn(f, generator=gen).double()
+    m.final_meta_prototype_std = (torch.randn(f, generator=gen).abs() + 0.5).double()
+    m.final_meta_prototypes_initialized = True
+    OUT["dcorrupt.proto_mean"] = m.final_meta_prototype.numpy()
+    OUT["dcorrupt.proto_std"] = m.final_meta_prototype_std.numpy()
+    feats = torch.randn(3, 7, f, generator=gen).double()
+    OUT["dcorrupt.feats"] = feats.numpy()
+
+    prev_dtype = torch.get_default_dtype()
+    prev_float = torch.Tensor.float
+    torch.set_default_dtype(torch.float64)
+    torch.Tensor.float = lambda self: self.to(torch.get_default_dtype())
+    np.random.seed(777)
+    try:
+        with _NpRandomRecorder() as rec, _CaptureCorruptionMatmul(f) as cap:
+            m.zero_grad(set_to_none=True)
+            loss = m.set_forward_loss(feats.view(3 * 7, f))
+            loss.backward()
+    finally:
+        torch.set_default_dtype(prev_dtype)
+        torch.Tensor.float = prev_float
+
+    # reconstruct the drawn corruption (sampled constants, :147-154)
+    r_perc, r_perc_zeros, r_mfac = (float(v) for v in rec["random_sample"])
+    m_fac = (5 - 1.5) * r_mfac + 1.5
+    corruption, bias = _reconstruct_corruption(rec, f, m_fac=m_fac)
+    assert len(cap.captured) == 1
+    np.testing.assert_allclose(corruption, cap.captured[0].numpy(), rtol=1e-10)
+    # dampnet_full_class.py:173-174: corrupt_x = x @ C + m_fac * bias
+    OUT["dcorrupt.corrupt_x"] = feats.view(-1, f).numpy() @ corruption + m_fac * bias
+    OUT["dcorrupt.loss"] = np.asarray(loss.detach().numpy(), dtype=np.float64)
+    frozen = {"fc.0.weight", "fc.0.bias"}
+    for name, p in m.named_parameters():
+        if p.grad is not None:
+            assert name not in frozen, f"{name} should be frozen on corrupt steps"
+            OUT[f"dcorrupt.grad.{name}"] = p.grad.detach().numpy().copy()
 
 
 def gen_bottleneck_block():
@@ -981,7 +1148,9 @@ def main():
     gen_dampnet_train_backward(tiny)
     gen_baseline_train_backward(tiny)
     gen_dampnet_finetune_e2e(model_damp, tiny)
-    gen_dampnet_prototype()
+    model_dproto = gen_dampnet_prototype()
+    gen_dampnet_prototype_corrupt(model_dproto)
+    gen_dampnet_corrupt_backward()
     gen_simple_block2()
     gen_fwt_train_mode()
     import os
