@@ -113,8 +113,17 @@ def main(argv=None):
     if start_epoch != 0:
         resume = ckpt.get_resume_file(ckpt_dir)
         if resume:
-            state = ckpt.load_checkpoint(resume, {"epoch": 0, "params": params, "stats": stats, "opt_state": opt_state})
+            template = {"epoch": 0, "params": params, "stats": stats, "opt_state": opt_state}
+            if damp_state is not None:
+                # dampnet checkpoints persist the prototype/rolling-store
+                # state too — without this template key flax silently drops
+                # it and a resumed run restarts with a zeroed store,
+                # count=150, and initialized=False
+                template["damp_state"] = damp_state
+            state = ckpt.load_checkpoint(resume, template)
             params, stats, opt_state = state["params"], state["stats"], state["opt_state"]
+            if damp_state is not None:
+                damp_state = state["damp_state"]
             start_epoch = int(state["epoch"]) + 1
             print(f"resumed from {resume} at epoch {start_epoch}")
 
@@ -240,20 +249,24 @@ def run_dampnet(a, manifest, aug_cfg, bcfg, dcfg, spec, params, stats, tx, opt_s
             else:
                 mode = dn.training_mode(step_index, bool(dstate["initialized"]))
             params, stats, opt_state, m = step(params, stats, opt_state, dstate, jnp.asarray(eps), k, mode=mode)
-            epoch_bank.append(np.asarray(m["support_bank"]).reshape(-1, dcfg.feat_dim))
             if proto_variant:
                 # rotate this batch's clean support banks into the rolling
                 # prototype store (dampnet.py:133-136)
                 dstate = store_step(dstate, m["support_bank"])
+            else:
+                # 5-epoch feature window for the full family's prototype
+                # refresh; the prototype variant never consumes it (its eval
+                # prototypes come from the eval driver's get_all_feat sweep),
+                # so skip the device->host copy there
+                epoch_bank.append(np.asarray(m["support_bank"]).reshape(-1, dcfg.feat_dim))
             step_index += e_batch
             meter.update(float(m["loss"]))
             logger.log_train(epoch, i, n_steps, meter.avg, mode=mode)
-        window.append(np.concatenate(epoch_bank))
-        window[:] = window[-5:]
-        if epoch >= proto_start and not proto_variant:
-            # the prototype variant never refreshes its eval prototypes in
-            # training; the eval driver's get_all_feat sweep sets them
-            dstate = dn.update_prototypes(dstate, jnp.asarray(np.concatenate(window)))
+        if not proto_variant:
+            window.append(np.concatenate(epoch_bank))
+            window[:] = window[-5:]
+            if epoch >= proto_start:
+                dstate = dn.update_prototypes(dstate, jnp.asarray(np.concatenate(window)))
         if epoch % a.save_freq == 0 or epoch == a.stop_epoch:
             ckpt.save_checkpoint(ckpt_dir, epoch, {"epoch": epoch, "params": params, "stats": stats,
                                                    "opt_state": opt_state, "damp_state": dstate})

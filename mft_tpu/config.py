@@ -111,7 +111,10 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--trace_dir", default=None, help="jax.profiler trace output dir")
     parser.add_argument("--episode_cache", default=None,
                         help="dir for the decoded-episode uint8 cache (keyed by dataset/spec/seed/"
-                             "resolution): repeat evals skip image decode entirely")
+                             "resolution): repeat evals skip image decode entirely.  Training keys "
+                             "streams by seed+epoch, so the cache grows by one epoch's episodes per "
+                             "epoch (hits only on crash-resume of the same epochs) — budget disk "
+                             "accordingly or reserve the flag for eval")
     parser.add_argument("--use_pallas", action="store_true", help="fused Pallas edge kernel in the GNN head")
 
     if script == "train":

@@ -333,6 +333,43 @@ def _member_bank(
     return None, _bank_images(support_bank), support_bank.shape[0]
 
 
+def _finetune_features(
+    backbone_params,
+    backbone_stats,
+    episode,
+    support_bank,
+    k_aug,
+    k_fit,
+    *,
+    bcfg: bb.ResNetCfg,
+    spec: EpisodeSpec,
+    tcfg: TransferCfg,
+    aug_cfg=None,
+    gen_examples: int = 0,
+    inner_schedule=None,
+):
+    """The head-agnostic core of the reference's ``finetune()``
+    (finetune.py:182-306), shared by the GNN / ProtoNet / DampNet members:
+    build the augmented support bank, transfer-fine-tune the backbone's
+    last block on it (``fine_tune_epochs`` x batch-5 Adam, throwaway
+    classifier quirk inside ``_adapt_block``), then embed the clean episode
+    with the ADAPTED backbone in train-mode BN.  Returns episode features
+    ``[n_way, s+q, feat]``."""
+    fmap_bank, bank_x, n_rep = _member_bank(
+        backbone_params, backbone_stats, support_bank, k_aug,
+        bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+    )
+    bank_y = bank_labels(spec, n_rep)
+    adapted_block, _ = _adapt_block(
+        backbone_params, backbone_stats, bank_y, k_fit,
+        bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
+        fmap_bank=fmap_bank, bank_x=bank_x, schedule=inner_schedule,
+    )
+    trunk_p, _ = bb.adapt_split(backbone_params)
+    full = bb.adapt_merge(trunk_p, adapted_block)
+    return _embed_episode(full, backbone_stats, episode, bcfg=bcfg, spec=spec)
+
+
 def gnn_member_scores(
     backbone_params,
     backbone_stats,
@@ -366,19 +403,11 @@ def gnn_member_scores(
         # adaptation is a no-op; the model runs in eval() (finetune.py:263-266)
         feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec, train=False)
         return jax.nn.softmax(gnn_scores(head, feats, gcfg, spec.n_query), axis=1)
-    fmap_bank, bank_x, n_rep = _member_bank(
-        backbone_params, backbone_stats, support_bank, k_aug,
-        bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+    feats = _finetune_features(
+        backbone_params, backbone_stats, episode, support_bank, k_aug, k_fit,
+        bcfg=bcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+        inner_schedule=inner_schedule,
     )
-    bank_y = bank_labels(spec, n_rep)
-    adapted_block, _ = _adapt_block(
-        backbone_params, backbone_stats, bank_y, k_fit,
-        bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
-        fmap_bank=fmap_bank, bank_x=bank_x, schedule=inner_schedule,
-    )
-    trunk_p, _ = bb.adapt_split(backbone_params)
-    full = bb.adapt_merge(trunk_p, adapted_block)
-    feats = _embed_episode(full, backbone_stats, episode, bcfg=bcfg, spec=spec)
     scores = gnn_scores(head, feats, gcfg, spec.n_query)
     return jax.nn.softmax(scores, axis=1)
 
@@ -455,19 +484,10 @@ def proto_member_scores(
         feats = _embed_episode(backbone_params, backbone_stats, episode, bcfg=bcfg, spec=spec, train=False)
         scores = proto_scores(feats[:, : spec.n_support], feats[:, spec.n_support :], spec)
         return jax.nn.softmax(scores, axis=1)
-    fmap_bank, bank_x, n_rep = _member_bank(
-        backbone_params, backbone_stats, support_bank, k_aug,
-        bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+    feats = _finetune_features(
+        backbone_params, backbone_stats, episode, support_bank, k_aug, k_fit,
+        bcfg=bcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
     )
-    bank_y = bank_labels(spec, n_rep)
-    adapted_block, _ = _adapt_block(
-        backbone_params, backbone_stats, bank_y, k_fit,
-        bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
-        fmap_bank=fmap_bank, bank_x=bank_x,
-    )
-    trunk_p, _ = bb.adapt_split(backbone_params)
-    full = bb.adapt_merge(trunk_p, adapted_block)
-    feats = _embed_episode(full, backbone_stats, episode, bcfg=bcfg, spec=spec)
     scores = proto_scores(feats[:, : spec.n_support], feats[:, spec.n_support :], spec)
     return jax.nn.softmax(scores, axis=1)
 
@@ -573,19 +593,11 @@ def dampnet_member_scores(
         # live path: adapt the last block on the bank (identical to the GNN
         # member — finetune.py:238-299), then domain-shift-score the adapted
         # features (finetune.py:306,313-314)
-        fmap_bank, bank_x, n_rep = _member_bank(
-            backbone_params, backbone_stats, support_bank, k_aug,
-            bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+        feats = _finetune_features(
+            backbone_params, backbone_stats, episode, support_bank, k_aug, k_fit,
+            bcfg=bcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+            inner_schedule=inner_schedule,
         )
-        bank_y = bank_labels(spec, n_rep)
-        adapted_block, _ = _adapt_block(
-            backbone_params, backbone_stats, bank_y, k_fit,
-            bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None,
-            fmap_bank=fmap_bank, bank_x=bank_x, schedule=inner_schedule,
-        )
-        trunk_p, _ = bb.adapt_split(backbone_params)
-        full = bb.adapt_merge(trunk_p, adapted_block)
-        feats = _embed_episode(full, backbone_stats, episode, bcfg=bcfg, spec=spec)
         scores = dampnet_scores(damp_params, damp_state, feats, dcfg, spec.n_query, mode="domain_shift")
         return jax.nn.softmax(scores, axis=1)
 

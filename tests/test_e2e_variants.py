@@ -171,3 +171,12 @@ def test_dampnet_prototype_variant_train_and_eval(save_dir, capsys):
                       "--gen_examples", "1", "--fine_tune_epoch", "1"])
     out = capsys.readouterr().out
     assert "dampnet source prototypes computed" in out and "Test Acc" in out
+
+    # resume restores damp_state: without the damp_state template key the
+    # deserializer silently drops it and the run restarts with count=150 and
+    # a zeroed rolling store
+    tr.main(COMMON + ["--method", "dampnet", "--n_shot", "2", "--start_epoch", "2",
+                      "--stop_epoch", "2", "--save_freq", "1", "--episodes_per_epoch", "3"])
+    with open(d / "2.ckpt", "rb") as f:
+        raw = ser.msgpack_restore(f.read())
+    assert int(raw["damp_state"]["count"]) == 159  # 156 carried over + 3
