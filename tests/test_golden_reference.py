@@ -608,6 +608,71 @@ def test_finetune_e2e_transfer_golden(g):
     np.testing.assert_allclose(scores_lin + scores_gnn, g["fte2e.scores_all"], rtol=2e-3, atol=4e-3)
 
 
+def _e2e50_tensors():
+    """Regenerate the 50-shot-style episode the generator fed torch (same
+    seed) in NHWC, plus the materialized replica bank with the reference's
+    triple-counted clean support."""
+    rs = np.random.RandomState(654)
+    shape = (2, 4 + 15, 3, 224, 224)
+    x_clean = rs.rand(*shape).astype(np.float32)
+    x_aug = x_clean.copy()
+    x_aug[:, :4] = rs.rand(2, 4, 3, 224, 224).astype(np.float32)
+    ep = np.transpose(x_clean, (0, 1, 3, 4, 2))
+    sup = ep[:, :4]
+    aug_sup = np.transpose(x_aug, (0, 1, 3, 4, 2))[:, :4]
+    bank = np.stack([sup, sup, sup, aug_sup])
+    return jnp.asarray(ep), jnp.asarray(bank)
+
+
+def test_finetune50_e2e_transfer_golden(g):
+    """The 50-shot driver's composed GNN-member eval path vs the reference's
+    own ``finetune_50.finetune()`` run end to end
+    (/root/reference/finetune_50.py:185-310): bank assembly, the inner Adam
+    loop with train-mode BN (recorded permutations replayed), and scoring
+    the ADAPTED features through the COMPRESSED gnnnet_copy head
+    (post-fc pair-averaged support embeddings, gnnnet_copy.py:51-78).
+    Completes the composed-path golden matrix across the shipped drivers."""
+    if "ft50e2e.scores_gnn" not in g:
+        pytest.skip("fixture predates the 50-shot e2e golden; rerun tools/gen_golden_reference.py")
+    import jax
+
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.methods import gnnnet as gn
+    from mft_tpu.train import eval_engine as ee
+    from mft_tpu.train.inner_loop import InnerLoopCfg, schedule_from_perms
+
+    spec = EpisodeSpec(n_way=2, n_support=4, n_query=15)
+    gcfg = gn.GnnNetCfg(feat_dim=16, n_way=2, n_support=4, support_compress=2)
+    tcfg = ee.TransferCfg(fine_tune_epochs=1, bn_mode="minibatch")
+    ep, bank = _e2e50_tensors()
+    k = jax.random.PRNGKey(0)
+
+    params, stats = _tiny_backbone_trees(g, "ft50e2e_gnn.feature")
+    head = {
+        "fc": {
+            "linear": lin_mat(g["ft50e2e_gnn.fc.0.weight"], g["ft50e2e_gnn.fc.0.bias"]),
+            "bn": {"scale": jnp.asarray(g["ft50e2e_gnn.fc.1.weight"]), "bias": jnp.asarray(g["ft50e2e_gnn.fc.1.bias"])},
+        },
+        "gnn": {
+            "layers": [
+                {"w": _wcompute_tree(g, f"ft50e2e_gnn.gnn.layer_w{i}"), "l": _gconv_tree(g, f"ft50e2e_gnn.gnn.layer_l{i}")}
+                for i in range(2)
+            ],
+            "w_last": _wcompute_tree(g, "ft50e2e_gnn.gnn.w_comp_last"),
+            "l_last": _gconv_tree(g, "ft50e2e_gnn.gnn.layer_last", bn=False),
+        },
+    }
+    sched = schedule_from_perms(g["ft50e2e.perms"], InnerLoopCfg(epochs=1, batch_size=5, bank_size=32))
+    fn = jax.jit(
+        lambda p, s, h, e, b: ee.gnn_member_scores(
+            p, s, h, e, b, k, k, bcfg=TINY_BCFG, gcfg=gcfg, spec=spec, tcfg=tcfg,
+            gen_examples=1, inner_schedule=sched,
+        )
+    )
+    scores = np.asarray(fn(params, stats, head, ep, bank))
+    np.testing.assert_allclose(scores, g["ft50e2e.scores_gnn"], rtol=2e-3, atol=2e-3)
+
+
 # --------------------------------------------------------------------------
 # Optimizer recursions (finetune.py:109,240; meta_template.py:166)
 # --------------------------------------------------------------------------

@@ -1128,6 +1128,66 @@ def gen_finetune_e2e():
     return model_gnn, tiny
 
 
+E2E50_N_WAY, E2E50_N_SUPPORT = 2, 4  # the compressed head halves to 2
+E2E50_IMG_SEED, E2E50_CLF_SEED, E2E50_PERM_SEED = 654, 61, 62
+
+
+def e2e50_episode_tensors():
+    """Deterministic 50-shot-style episode (regenerated identically by the
+    test): liz_x = [clean, clean duplicate, one augmented replica]."""
+    rs = np.random.RandomState(E2E50_IMG_SEED)
+    shape = (E2E50_N_WAY, E2E50_N_SUPPORT + 15, 3, 224, 224)
+    x_clean = rs.rand(*shape).astype(np.float32)
+    x_aug = x_clean.copy()
+    x_aug[:, :E2E50_N_SUPPORT] = rs.rand(E2E50_N_WAY, E2E50_N_SUPPORT, 3, 224, 224).astype(np.float32)
+    y = np.repeat(np.arange(E2E50_N_WAY), E2E50_N_SUPPORT + 15)
+    return [x_clean, x_clean.copy(), x_aug], y
+
+
+def gen_finetune50_e2e(tiny):
+    """The 50-shot driver's composed GNN-member eval path, executed by the
+    reference itself: ``finetune_50.finetune()``
+    (/root/reference/finetune_50.py:185-310 — the same head-agnostic
+    adaptation body as finetune.py, incl. the triple-counted clean support
+    and the features-as-logits inner CE) scoring the ADAPTED episode
+    features through the COMPRESSED gnnnet_copy head (post-fc pair-averaged
+    support embeddings, gnnnet_copy.py:51-78).  Completes the composed-path
+    golden matrix: every shipped driver's headline member end to end."""
+    import types
+
+    import finetune_50 as ref_ft50
+    import gnnnet_copy as ref_gnn50
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    nn.Module.cuda = lambda self, *a, **k: self
+
+    ref_ft50.model_dict["TinyNet"] = tiny
+    ref_ft50.params = types.SimpleNamespace(model="TinyNet", fine_tune_epoch=1)
+
+    gen = torch.Generator().manual_seed(17)
+    liz_x_np, y = e2e50_episode_tensors()
+    liz_x = [torch.from_numpy(x) for x in liz_x_np]
+
+    torch.manual_seed(57)
+    model50 = ref_gnn50.GnnNet(tiny, n_way=E2E50_N_WAY, n_support=E2E50_N_SUPPORT)
+    assert model50.n_support == E2E50_N_SUPPORT // 2  # round(n/2), gnnnet_copy.py:34
+    randomize_bn(model50, gen)
+    put("ft50e2e_gnn", model50)
+    state50 = model50.state_dict()
+
+    torch.manual_seed(E2E50_CLF_SEED)  # throwaway classifier (scores unused)
+    np.random.seed(E2E50_PERM_SEED)  # makes the minibatch perms recoverable
+    score = ref_ft50.finetune(
+        liz_x, torch.from_numpy(y), model50, state50, save_it=600,
+        n_query=15, n_way=E2E50_N_WAY, n_support=E2E50_N_SUPPORT,
+    )
+    OUT["ft50e2e.scores_gnn"] = score.detach().numpy()
+
+    np.random.seed(E2E50_PERM_SEED)
+    bank = E2E50_N_WAY * E2E50_N_SUPPORT * (len(liz_x) + 1)  # 32
+    OUT["ft50e2e.perms"] = np.stack([np.random.permutation(bank)])  # 1 epoch
+
+
 def main():
     gen_simple_block()
     gen_gnn_pieces()
@@ -1139,6 +1199,7 @@ def main():
     gen_optimizers()
     gen_bottleneck_block()
     model_gnn, tiny = gen_finetune_e2e()
+    gen_finetune50_e2e(tiny)
     gen_train_step_backward(model_gnn)
     gen_meta_finetune_backward(model_gnn)
     gen_protonet_finetune_backward(tiny)
