@@ -120,8 +120,13 @@ def build_models(a, paths, bcfg, gcfg):
         models["_dcfg"] = dcfg
     if a.method in ("all", "gnnnet", "gnnnet_maml", "protonet"):
         method_name = "gnnnet" if a.method == "all" else a.method
+        # reference quirk: the method=all dispatch appends '_aug' to the GNN
+        # checkpoint dir UNCONDITIONALLY and pins epoch 600, while the
+        # baseline dir is train_aug-gated and pinned to 400
+        # (finetune.py:473-480,516-523)
         d = cfg_mod.checkpoint_dir(
-            paths, pretrained_dataset, a.model, method_name, train_aug=a.train_aug,
+            paths, pretrained_dataset, a.model, method_name,
+            train_aug=True if a.method == "all" else a.train_aug,
             n_way=a.train_n_way, n_shot=a.n_shot,
         )
         it = 600 if a.method == "all" else a.save_iter

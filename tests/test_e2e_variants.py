@@ -43,6 +43,30 @@ def test_ensemble_method_all(save_dir, capsys):
     assert "Test Acc" in out
 
 
+def test_ensemble_aug_dir_quirk(save_dir, capsys):
+    """Reference quirk: the method=all dispatch appends '_aug' to the GNN
+    checkpoint dir UNCONDITIONALLY (finetune.py:516-523, finetune_50.py:552)
+    while the baseline dir is train_aug-gated (:473-480).  Evaluating
+    --method all WITHOUT --train_aug must therefore load the GNN member
+    from the _aug directory and the baseline from the plain one."""
+    from mft_tpu.cli import finetune as ft
+    from mft_tpu.cli import train as tr
+
+    tr.main(COMMON + ["--method", "baseline", "--num_classes", "10", "--batch_size", "8",
+                      "--stop_epoch", "0", "--save_freq", "1"])
+    tr.main(COMMON + ["--method", "gnnnet", "--n_shot", "2", "--stop_epoch", "0", "--save_freq", "1",
+                      "--episodes_per_epoch", "1", "--train_aug"])
+    b_dir = save_dir / "checkpoints" / "synthetic" / "ResNet10_baseline"
+    g_dir = save_dir / "checkpoints" / "synthetic" / "ResNet10_gnnnet_aug_5way_2shot"
+    os.rename(b_dir / "0.ckpt", b_dir / "400.ckpt")
+    os.rename(g_dir / "0.ckpt", g_dir / "600.ckpt")
+
+    ft.main(COMMON + ["--method", "all", "--test_dataset", "synthetic", "--n_shot", "2",
+                      "--save_iter", "400", "--iter_num", "2", "--eval_batch", "2",
+                      "--gen_examples", "1", "--fine_tune_epoch", "1"])
+    assert "Test Acc" in capsys.readouterr().out
+
+
 def test_train50_and_finetune50_wrappers(save_dir, capsys):
     """50-shot wrappers select the compressed GNN (eff_support halved)."""
     from mft_tpu.cli import train_50 as tr50
