@@ -100,6 +100,26 @@ def test_train50_finetune_stage(save_dir):
     assert os.path.exists(d / "1.ckpt")
 
 
+def test_finetune50_driver_e2e(save_dir, capsys):
+    """The 50-shot eval wrapper end to end at REAL n_shot=50 geometry:
+    cli.finetune_50 delegates to the shared driver, which selects the
+    compressed 130-node GNN member automatically (support_compress=2 at
+    n_shot >= 50) and runs the full bank -> adapt -> compressed-head-score
+    composition (reference finetune_50.py)."""
+    from mft_tpu.cli import finetune_50 as ft50
+    from mft_tpu.cli import train_50 as tr50
+
+    tr50.main(COMMON + ["--method", "gnnnet", "--n_shot", "50",
+                        "--episodes_per_epoch", "1", "--stop_epoch", "0"])
+    d = save_dir / "checkpoints" / "synthetic" / "ResNet10_gnnnet_5way_50shot"
+    assert os.path.exists(d / "0.ckpt")
+
+    ft50.main(COMMON + ["--method", "gnnnet", "--test_dataset", "synthetic",
+                        "--save_iter", "0", "--iter_num", "1", "--eval_batch", "1",
+                        "--gen_examples", "1", "--fine_tune_epoch", "1"])
+    assert "Test Acc" in capsys.readouterr().out
+
+
 def test_resnet10_fw_trains(save_dir):
     """--model ResNet10_FW: the feature-wise-transformation backbone
     (sampled per-channel affine noise, reference backbone.py:314-350)
