@@ -75,7 +75,9 @@ def json_filelist(path: str) -> Manifest:
 
 def isic_csv(csv_path: str, image_dir: str) -> Manifest:
     """ISIC2018 Task 3 ground truth: first column = image name, remaining
-    one-hot columns -> argmax label (ISIC_few_shot.py:29-42)."""
+    one-hot columns -> label = the FIRST NONZERO column
+    (``(labels != 0).argmax(axis=1)``, ISIC_few_shot.py:39-40 — identical to
+    a value argmax for one-hot rows, but matched exactly)."""
     import csv as _csv
 
     items, labels = [], []
@@ -85,7 +87,7 @@ def isic_csv(csv_path: str, image_dir: str) -> Manifest:
         n_classes = len(header) - 1
         for row in reader:
             items.append(os.path.join(image_dir, row[0] + ".jpg"))
-            labels.append(int(np.argmax([float(v) for v in row[1:]])))
+            labels.append(int(np.argmax([float(v) != 0 for v in row[1:]])))
     return Manifest(items, np.asarray(labels, np.int64), n_classes, header[1:])
 
 

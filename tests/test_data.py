@@ -47,10 +47,14 @@ def test_json_filelist_manifest(tmp_path):
 
 def test_isic_csv_manifest(tmp_path):
     csv = tmp_path / "gt.csv"
-    csv.write_text("image,MEL,NV,BCC\nISIC_001,0.0,1.0,0.0\nISIC_002,1.0,0.0,0.0\n")
+    # ISIC_003 pins the reference's exact (labels != 0).argmax semantics
+    # (ISIC_few_shot.py:39-40): the FIRST NONZERO column wins, not the max
+    csv.write_text(
+        "image,MEL,NV,BCC\nISIC_001,0.0,1.0,0.0\nISIC_002,1.0,0.0,0.0\nISIC_003,0.5,0.0,1.0\n"
+    )
     m = mf.isic_csv(str(csv), str(tmp_path))
     assert m.n_classes == 3
-    np.testing.assert_array_equal(m.labels, [1, 0])
+    np.testing.assert_array_equal(m.labels, [1, 0, 0])
     assert m.items[0].endswith("ISIC_001.jpg")
 
 
