@@ -113,18 +113,24 @@ def chestx_csv(csv_path: str, image_dir: str) -> Manifest:
 
 def cifar100(root: str, split: str = "base") -> Manifest:
     """CIFAR-100 from the standard python pickle archive, with the
-    reference's base/val/novel class grouping (cifar_few_shot.py:60-98):
-    base = classes with index % 2 == 0, val/novel split the odd classes."""
+    reference's base/val/novel class grouping (cifar_few_shot.py:27-37,
+    63-71): ``label % 3 == {0: base, 1: val, 2: novel}``.  (The %2/%4
+    grouping belongs to the CUB filelist writer, not cifar.)
+
+    Labels are compacted to 0..len(group)-1 — equivalent to the reference's
+    episodic path (its SetDataset builds sub-loaders only for the kept
+    classes, :69-71).  Deviation note: the reference's BASELINE pretrain
+    keeps raw label values into a 100-way classifier with 66 dead outputs
+    (train.py:89-93, num_classes=100); here the classifier sees the
+    compacted indices — a class-index permutation, and the classifier is
+    discarded at eval either way."""
     path = os.path.join(root, "train")
     with open(path, "rb") as f:
         d = pickle.load(f, encoding="latin1")
     images = d["data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # NHWC uint8
     labels = np.asarray(d["fine_labels"], np.int64)
-    groups = {
-        "base": [c for c in range(100) if c % 2 == 0],
-        "val": [c for c in range(100) if c % 4 == 1],
-        "novel": [c for c in range(100) if c % 4 == 3],
-    }[split]
+    type_ = {"base": 0, "val": 1, "novel": 2}[split]
+    groups = [c for c in range(100) if c % 3 == type_]
     keep = np.isin(labels, groups)
     remap = {c: i for i, c in enumerate(groups)}
     labels = np.asarray([remap[int(l)] for l in labels[keep]], np.int64)

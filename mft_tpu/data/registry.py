@@ -140,7 +140,7 @@ register(
 register(
     DatasetEntry(
         "cifar100",
-        50,  # base split (even class indices), cifar_few_shot.py:60-98
+        34,  # base split = label % 3 == 0 (cifar_few_shot.py:27-29,63-71)
         lambda paths: mf.cifar100(paths["cifar100"], "base"),
         train_aug=_MINI_TRAIN,
         eval_aug=_MINI_TRAIN,

@@ -72,6 +72,25 @@ def test_chestx_csv_manifest(tmp_path):
     np.testing.assert_array_equal(m.labels, [1, 2])
 
 
+def test_cifar100_mod3_split(tmp_path):
+    """The reference's cifar base/val/novel grouping is ``label % 3 ==
+    {0, 1, 2}`` (cifar_few_shot.py:27-37,63-71) — NOT the CUB writer's
+    %2/%4 rule."""
+    import pickle
+
+    data = (np.arange(12 * 3072, dtype=np.int64) % 255).astype(np.uint8).reshape(12, 3072)
+    with open(tmp_path / "train", "wb") as f:
+        pickle.dump({"data": data, "fine_labels": list(range(12))}, f)
+    base = mf.cifar100(str(tmp_path), "base")
+    val = mf.cifar100(str(tmp_path), "val")
+    novel = mf.cifar100(str(tmp_path), "novel")
+    assert base.n_classes == 34 and val.n_classes == 33 and novel.n_classes == 33
+    # classes 0,3,6,9 -> base (remapped 0..3); 1,4,7,10 -> val; 2,5,8,11 -> novel
+    for m in (base, val, novel):
+        assert len(m) == 4
+        np.testing.assert_array_equal(m.labels, [0, 1, 2, 3])
+
+
 def test_synthetic_manifest_deterministic():
     a = mf.synthetic(n_classes=3, per_class=4, seed=1)
     b = mf.synthetic(n_classes=3, per_class=4, seed=1)
