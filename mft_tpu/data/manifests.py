@@ -48,9 +48,16 @@ class Manifest:
         return len(self.items)
 
 
-def image_folder(root: str) -> Manifest:
-    """torchvision ImageFolder semantics: class = sorted subdirectory name."""
-    classes = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+def image_folder(root: str, exclude_prefixes: tuple = ()) -> Manifest:
+    """torchvision ImageFolder semantics: class = sorted subdirectory name.
+
+    ``exclude_prefixes``: class directories whose name starts with one of
+    these are dropped (see :func:`caltech256`)."""
+    classes = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+        and not (exclude_prefixes and d.startswith(tuple(exclude_prefixes)))
+    )
     items, labels = [], []
     for ci, cname in enumerate(classes):
         cdir = os.path.join(root, cname)
@@ -60,6 +67,18 @@ def image_folder(root: str) -> Manifest:
                     items.append(os.path.join(dirpath, f))
                     labels.append(ci)
     return Manifest(items, np.asarray(labels, np.int64), len(classes), classes)
+
+
+def caltech256(root: str) -> Manifest:
+    """Caltech-256 with the reference's effective class set: its loader
+    globs ``'%03d*' % cat`` for cat in range(0, 257)
+    (caltech256_few_shot.py:51-54), so folder ``000*`` never exists (label 0
+    is a ghost empty class) and ``257.clutter`` is never reached — the
+    usable classes are folders 001..256, clutter EXCLUDED.  Labels here are
+    the compacted 0..255 (the reference's raw 1..256 numbering into its
+    257-way baseline classifier is a class-index permutation with dead
+    outputs; the classifier is discarded at eval)."""
+    return image_folder(root, exclude_prefixes=("257",))
 
 
 def json_filelist(path: str) -> Manifest:

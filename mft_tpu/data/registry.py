@@ -150,8 +150,8 @@ register(
 register(
     DatasetEntry(
         "caltech256",
-        257,
-        lambda paths: mf.image_folder(paths["caltech256"]),
+        256,  # folders 001..256; clutter never globbed (caltech256_few_shot.py:51-54)
+        lambda paths: mf.caltech256(paths["caltech256"]),
         train_aug=_MINI_TRAIN,
         eval_aug=_MINI_TRAIN,
     )

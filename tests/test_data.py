@@ -72,6 +72,20 @@ def test_chestx_csv_manifest(tmp_path):
     np.testing.assert_array_equal(m.labels, [1, 2])
 
 
+def test_caltech256_excludes_clutter(tmp_path):
+    """The reference's caltech loader globs '%03d*' for cat in range(0, 257)
+    (caltech256_few_shot.py:51-54): 257.clutter is never reached.  The
+    faithful builder drops it."""
+    for name in ("001.ak47", "002.american-flag", "257.clutter"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "img.jpg").write_bytes(b"\xff\xd8\xff\xd9")
+    m = mf.caltech256(str(tmp_path))
+    assert m.n_classes == 2
+    assert m.class_names == ["001.ak47", "002.american-flag"]
+    assert all("clutter" not in p for p in m.items)
+
+
 def test_cifar100_mod3_split(tmp_path):
     """The reference's cifar base/val/novel grouping is ``label % 3 ==
     {0, 1, 2}`` (cifar_few_shot.py:27-37,63-71) — NOT the CUB writer's
