@@ -42,7 +42,6 @@ class EpisodicSampler:
         self.spec = spec
         self.n_episodes = n_episodes
         self.seed = seed
-        n_needed = spec.n_per_class
         for c, idx in enumerate(class_indices):
             if len(idx) == 0:
                 raise ValueError(f"class {c} has no items")
