@@ -65,11 +65,12 @@ def main():
     bcfg_ref = bb.resnet10()
     gcfg = gn.GnnNetCfg(feat_dim=512, n_way=5, n_support=5)
     gen_examples = 17
-    # eval_batch=4 is the measured optimum (r3 sweep: 2->14.9, 4->16.0,
-    # 6->15.1, 8->15.2, 12->14.1, 16->13.2 eps/s): the scans are HBM-bound,
-    # so lanes beyond the bandwidth saturation knee only add contention
-    eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "4"))
-    n_measure = int(os.environ.get("BENCH_EPISODES", "32"))
+    # eval_batch=5 is the measured optimum (r3 sweep: 2->14.9, 3->15.5,
+    # 4->16.0, 5->16.6, 6->15.1, 8->15.2, 12->14.1, 16->13.2 eps/s): the
+    # scans are HBM-bound, so lanes beyond the bandwidth saturation knee
+    # only add contention
+    eval_batch = int(os.environ.get("BENCH_EVAL_BATCH", "5"))
+    n_measure = int(os.environ.get("BENCH_EPISODES", "40"))
     n_serial = int(os.environ.get("BENCH_SERIAL_EPISODES", "20"))
 
     kb, kh = jax.random.split(jax.random.PRNGKey(0))
