@@ -76,7 +76,9 @@ def bench_shot(n_shot: int, eval_batch: int, n_measure: int, gen_examples: int =
 def main():
     print("| setting | eval_batch | episodes/sec | ms/episode |")
     print("|---|---|---|---|")
-    for n_shot, eb, n in [(5, 4, 32), (20, 4, 16), (50, 2, 8)]:
+    # per-shot eval_batch optima (late-r3 odd-size sweep: 5-shot 5 > 4,
+    # 20-shot 5 > 4, 50-shot 3 > 2)
+    for n_shot, eb, n in [(5, 5, 40), (20, 5, 20), (50, 3, 9)]:
         eps, ms = bench_shot(n_shot, eb, n)
         tag = f"{n_shot}-shot" + (" (compressed GNN)" if n_shot >= 50 else "")
         print(f"| {tag} | {eb} | {eps:.2f} | {ms:.0f} |")
