@@ -167,7 +167,12 @@ class EpisodeStream:
 
 
 class BatchStream:
-    """Flat shuffled minibatches for supervised pretraining."""
+    """Flat shuffled minibatches for supervised pretraining.
+
+    Reference semantics: ``DataLoader(batch_size, shuffle=True)``
+    (SimpleDataManager, data/datamgr.py:50-62) — an epoch-wide permutation
+    chunked into batches, every item at most once per pass (re-permuting if
+    ``n_batches`` asks for more than one pass), not independent draws."""
 
     def __init__(self, manifest: Manifest, batch_size: int, n_batches: int, *, base_size: int = 256, seed: int = 10, workers: int = 16):
         self.manifest = manifest
@@ -182,9 +187,15 @@ class BatchStream:
 
     def __iter__(self):
         rs = np.random.Generator(np.random.Philox(key=self.seed))
-        all_idx = np.arange(len(self.manifest))
+        perm, used = rs.permutation(len(self.manifest)), 0
         with cf.ThreadPoolExecutor(self.workers) as pool:
             for _ in range(self.n_batches):
-                idx = rs.choice(all_idx, size=self.batch_size, replace=len(all_idx) < self.batch_size)
+                if used + self.batch_size > len(perm):
+                    perm, used = rs.permutation(len(self.manifest)), 0
+                if self.batch_size > len(perm):  # tiny dataset: pad by re-permuting
+                    idx = np.concatenate([rs.permutation(len(perm)) for _ in range(-(-self.batch_size // len(perm)))])[: self.batch_size]
+                else:
+                    idx = perm[used : used + self.batch_size]
+                    used += self.batch_size
                 imgs = list(pool.map(lambda j: decode_image(self.manifest.items[j], self.base_size), idx))
                 yield np.stack(imgs), self.manifest.labels[idx]

@@ -71,10 +71,3 @@ class EpisodicSampler:
             yield self.episode(i)
 
 
-def class_batches(class_indices: List[np.ndarray], batch_size: int, seed: int, n_batches: int):
-    """Simple shuffled flat-batch stream for supervised pretraining
-    (SimpleDataManager semantics, data/datamgr.py:50-62)."""
-    all_idx = np.concatenate(class_indices)
-    rs = np.random.Generator(np.random.Philox(key=seed))
-    for b in range(n_batches):
-        yield rs.choice(all_idx, size=batch_size, replace=False if len(all_idx) >= batch_size else True)

@@ -197,6 +197,22 @@ def test_batch_stream(tmp_path):
     assert len(batches) == 2
     x, y = batches[0]
     assert x.shape == (4, 32, 32, 3) and y.shape == (4,)
+    # DataLoader(shuffle=True) semantics: one epoch-wide permutation chunked
+    # into batches (no item repeats within a pass), not independent draws
+    rs = np.random.Generator(np.random.Philox(key=stream.seed))
+    perm = rs.permutation(len(m))
+    np.testing.assert_array_equal(batches[0][1], m.labels[perm[:4]])
+    np.testing.assert_array_equal(batches[1][1], m.labels[perm[4:8]])
+
+
+def test_batch_stream_tiny_dataset(tmp_path):
+    # batch_size > dataset: pad by re-permuting, every item still appears
+    _make_image_tree(tmp_path, n_classes=2, per_class=3)
+    m = mf.image_folder(str(tmp_path))
+    stream = BatchStream(m, batch_size=8, n_batches=2, base_size=32, workers=2)
+    for x, y in stream:
+        assert x.shape == (8, 32, 32, 3)
+        assert set(np.unique(y)) == {0, 1}
 
 
 def test_decode_inmemory_array():
