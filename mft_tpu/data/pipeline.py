@@ -32,6 +32,17 @@ def decode_image(item, base_size: int) -> np.ndarray:
     float (ops/augment.py:to_float).  ``item`` is a file path or an
     in-memory HWC array.  Truncated files are tolerated (the reference sets
     ImageFile.LOAD_TRUNCATED_IMAGES, CropDisease_few_shot.py:13-14).
+
+    The anisotropic square resize is deliberate, NOT a shortcut: every
+    reference loader's no-aug transform is ``Scale/Resize([int(1.15*size),
+    int(1.15*size)])`` — a LIST, i.e. torchvision's aspect-SQUASHING
+    resize, not the shorter-side ``Resize(int)`` form (data/datamgr.py:28,
+    datasets/CropDisease_few_shot.py:229, Chest_few_shot.py:318, and every
+    other ``*_few_shot.py``) — so squash-decode here followed by the
+    device-side 1.15x resize + CenterCrop (ops/augment.py:center_view)
+    composes to exactly the reference's clean-view geometry.  The augmented
+    view's random crops sample in this squashed space rather than the
+    original-aspect image (README "Documented deviations").
     """
     if isinstance(item, np.ndarray):
         arr = item
