@@ -192,6 +192,21 @@ def compute_unsup_stats(a, paths, backbone_params, backbone_stats, bcfg, *, n_im
     return jnp.mean(feats, axis=0), jnp.std(feats, axis=0, ddof=1)
 
 
+def plan_eval_mesh(eval_batch_per_chip: int):
+    """(mesh, global episode batch) for the eval loop.
+
+    ``--eval_batch`` is the PER-CHIP lane count (5 = measured single-chip
+    optimum, docs/PERF.md); the episode axis always spans every device, so
+    the global batch scales with the mesh — on a v4-8 the 600-episode eval
+    runs ``8 * eval_batch`` lanes wide.  (The per-chip lane optimum and the
+    data-axis width are independent quantities; composing them, e.g. via
+    ``gcd``, is wrong — it would park a v4-8 eval on one chip.)  The last
+    batch is padded up to the global size and the padded accuracies dropped.
+    """
+    n_dev = len(jax.devices())
+    return pmesh.make_mesh(n_data=n_dev), eval_batch_per_chip * n_dev
+
+
 def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
     """Run the episode loop; returns (acc_mean, ci95, acc_all, eps_per_sec)."""
     aug_cfg = entry.eval_aug._replace(image_size=a.image_size)
@@ -204,10 +219,7 @@ def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
         method=a.method, bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg,
         gen_examples=a.gen_examples, dcfg=dcfg, dampnet_eval=getattr(a, "dampnet_eval", "finetune"),
     )
-    import math
-
-    e_batch = a.eval_batch
-    mesh = pmesh.make_mesh(n_data=math.gcd(e_batch, len(jax.devices())))
+    mesh, e_batch = plan_eval_mesh(a.eval_batch)
     stream = EpisodeStream(manifest, spec, a.iter_num, base_size=a.base_size, seed=a.seed,
                            cache_dir=a.episode_cache)
 
@@ -245,7 +257,15 @@ def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
 
 
 def main(argv=None):
-    a = cfg_mod.parse_args("train", argv)  # the reference's finetune.py also parses the 'train' flag set (finetune.py:426)
+    # the reference's finetune.py also parses the 'train' flag set
+    # (finetune.py:426).  The eval driver defaults to the fast bf16 path —
+    # measured divergence vs strict f32 is +0.03 pp / 99.97% argmax
+    # agreement (docs/PERF.md) at ~40% more throughput; ``--dtype float32
+    # --inner_param_dtype float32`` is the strict-parity knob (the golden
+    # e2e parity artifacts are generated against it).
+    a = cfg_mod.parse_args(
+        "train", argv, overrides={"dtype": "bfloat16", "inner_param_dtype": "bfloat16"}
+    )
     np.random.seed(a.seed)
     paths = cfg_mod.Paths.load(a.paths_json)
 

@@ -69,8 +69,12 @@ def checkpoint_dir(paths: Paths, dataset: str, model: str, method: str, *, train
     return d
 
 
-def parse_args(script: str, argv=None):
-    """Flag parity with reference io_utils.py:10-47 (+ TPU-native extras)."""
+def parse_args(script: str, argv=None, overrides: dict | None = None):
+    """Flag parity with reference io_utils.py:10-47 (+ TPU-native extras).
+
+    ``overrides``: default values a driver swaps in for its own entry point
+    (the eval drivers default to the fast bf16 path; explicit flags always
+    win)."""
     parser = argparse.ArgumentParser(description=f"mft_tpu few-shot script {script}")
     parser.add_argument("--dataset", default="miniImageNet", help="training base dataset")
     parser.add_argument("--test_dataset", default="", help="cross-domain test dataset")
@@ -94,7 +98,10 @@ def parse_args(script: str, argv=None):
     parser.add_argument("--base_size", default=256, type=int, help="host decode resolution")
     parser.add_argument("--iter_num", default=600, type=int, help="eval episodes")
     parser.add_argument("--episode_batch", default=1, type=int, help="episodes per training step (data-parallel axis)")
-    parser.add_argument("--eval_batch", default=5, type=int, help="episodes fine-tuned concurrently at eval (5 = measured single-chip optimum)")
+    parser.add_argument("--eval_batch", default=5, type=int,
+                        help="episodes fine-tuned concurrently PER CHIP at eval (5 = measured "
+                             "single-chip optimum); the episode axis is sharded over every "
+                             "device, so the global batch is eval_batch * n_devices")
     parser.add_argument("--bn_mode", default="episode", choices=["episode", "minibatch"])
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--inner_param_dtype", default="float32", choices=["float32", "bfloat16"],
@@ -136,4 +143,6 @@ def parse_args(script: str, argv=None):
             # flags are deliberately not reproduced.
     else:
         raise ValueError("Unknown script")
+    if overrides:
+        parser.set_defaults(**overrides)
     return parser.parse_args(argv)

