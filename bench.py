@@ -81,7 +81,9 @@ def main():
     entry = registry.get("synthetic")
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))  # tiny override for the CPU smoke test
     aug_cfg = entry.eval_aug._replace(image_size=image_size)
-    base_size = int(os.environ.get("BENCH_BASE_SIZE", "256"))
+    # default matches the CLI's auto base: int(1.15*image_size) (the decode
+    # resolution at which the clean view is pixel-exact vs the reference)
+    base_size = int(os.environ.get("BENCH_BASE_SIZE", str(int(image_size * 1.15))))
 
     # ---- fast path: episode-batched, trunk-precompute -----------------
     # bf16 parameter carry in the inner scans is the fast default (validated:

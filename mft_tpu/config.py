@@ -95,7 +95,11 @@ def parse_args(script: str, argv=None, overrides: dict | None = None):
     parser.add_argument("--gen_examples", default=10, type=int)
     # --- TPU-native extras (magic numbers surfaced as flags) ---
     parser.add_argument("--image_size", default=224, type=int)
-    parser.add_argument("--base_size", default=256, type=int, help="host decode resolution")
+    parser.add_argument("--base_size", default=-1, type=int,
+                        help="host decode resolution; -1 (default) resolves to int(1.15*image_size) "
+                             "(257 at 224), which makes the composed clean/center view PIXEL-EXACT vs "
+                             "the reference's Scale([1.15s,1.15s])+CenterCrop (run-the-reference pixel "
+                             "goldens, tests/test_augment.py)")
     parser.add_argument("--iter_num", default=600, type=int, help="eval episodes")
     parser.add_argument("--episode_batch", default=1, type=int, help="episodes per training step (data-parallel axis)")
     parser.add_argument("--eval_batch", default=5, type=int,
@@ -145,4 +149,7 @@ def parse_args(script: str, argv=None, overrides: dict | None = None):
         raise ValueError("Unknown script")
     if overrides:
         parser.set_defaults(**overrides)
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.base_size <= 0:
+        args.base_size = int(args.image_size * 1.15)
+    return args

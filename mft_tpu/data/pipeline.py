@@ -39,8 +39,13 @@ def decode_image(item, base_size: int) -> np.ndarray:
     resize, not the shorter-side ``Resize(int)`` form (data/datamgr.py:28,
     datasets/CropDisease_few_shot.py:229, Chest_few_shot.py:318, and every
     other ``*_few_shot.py``) — so squash-decode here followed by the
-    device-side 1.15x resize + CenterCrop (ops/augment.py:center_view)
-    composes to exactly the reference's clean-view geometry.  The augmented
+    device-side CenterCrop (ops/augment.py:center_view) composes to the
+    reference's clean view.  At the driver-default
+    ``base_size = int(1.15*image_size)`` the composition is PIXEL-EXACT
+    (the device resize is the identity; run-the-reference golden:
+    tests/test_augment.py::test_clean_view_pixel_golden_exact_base).  Other
+    base sizes interpose a second resample, quantified by
+    test_clean_view_pixel_golden_quantifies_other_bases.  The augmented
     view's random crops sample in this squashed space rather than the
     original-aspect image (README "Documented deviations").
     """

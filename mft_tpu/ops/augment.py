@@ -81,9 +81,21 @@ def normalize(x: jnp.ndarray) -> jnp.ndarray:
 
 def center_view(image: jnp.ndarray, size: int) -> jnp.ndarray:
     """Resize to ``1.15*size`` square then center-crop ``size`` — the no-aug
-    eval view (data/datamgr.py:38: ['Resize','CenterCrop',...])."""
+    eval view (data/datamgr.py:38: ['Resize','CenterCrop',...]).
+
+    When the host already decoded to exactly ``int(1.15*size)`` (the
+    ``base_size`` auto default, config.py), the resize is skipped: the
+    composed host-decode + crop is then PIXEL-EXACT vs the reference's
+    ``Scale([1.15s,1.15s]) + CenterCrop`` (pinned by
+    tests/test_augment.py::test_clean_view_pixel_golden_exact_base against
+    a run-the-reference fixture).  The crop offset ``(big-size)//2`` equals
+    torchvision's ``int(round((big-size)/2))`` for the 257->224 case (both
+    16: Python round() is half-to-even)."""
     big = int(size * 1.15)
-    r = jax.image.resize(image, (big, big, image.shape[-1]), method="bilinear")
+    if image.shape[0] == big and image.shape[1] == big:
+        r = image
+    else:
+        r = jax.image.resize(image, (big, big, image.shape[-1]), method="bilinear")
     off = (big - size) // 2
     return normalize(jax.lax.dynamic_slice(r, (off, off, 0), (size, size, image.shape[-1])))
 
@@ -147,7 +159,17 @@ def _enhance(img: jnp.ndarray, key, cfg: AugmentCfg) -> jnp.ndarray:
     r_b = cfg.brightness * (2.0 * u[0] - 1.0) + 1.0
     r_c = cfg.contrast * (2.0 * u[1] - 1.0) + 1.0
     r_s = cfg.color * (2.0 * u[2] - 1.0) + 1.0
+    return apply_enhance(img, r_b, r_c, r_s)
 
+
+def apply_enhance(img: jnp.ndarray, r_b, r_c, r_s) -> jnp.ndarray:
+    """The jitter chain at explicit factors (Brightness, Contrast, Color) —
+    the deterministic remainder of ImageJitter once the draws are fixed,
+    golden-pinned against the reference's own ImageJitter at recorded
+    ``torch.rand`` draws (tests/test_augment.py::test_image_jitter_golden).
+    Float path: PIL rounds to uint8 after every blend and uses the
+    integer-rounded L mean for contrast; the measured divergence is <=2/255
+    per channel (pinned in the golden test)."""
     luma = jnp.asarray(_LUMA, img.dtype)
     # Brightness: blend with black
     img = jnp.clip(img * r_b, 0.0, 1.0)
