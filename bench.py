@@ -96,6 +96,7 @@ def main():
         inner_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         inner_gather=os.environ.get("BENCH_INNER_GATHER", "step"),
         inner_carry=os.environ.get("BENCH_INNER_CARRY", "tree"),
+        ensemble_fuse=os.environ.get("BENCH_ENSEMBLE_FUSE", "seq"),
     )
     program = ee.make_eval_program(
         method="all", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples

@@ -83,6 +83,13 @@ class TransferCfg(NamedTuple):
     #: costing more copies than the per-leaf op overhead it removes
     #: (docs/PERF.md r3 ablation).  Kept as a measured-rejected knob.
     inner_carry: str = "tree"
+    #: 'seq' runs the --method all members' inner scans back to back;
+    #: 'lane' fuses them into one scan for their shared first steps (the
+    #: linear member's 100 steps ride the GNN member's 500 as extra lanes) —
+    #: numerically identical (tests/test_eval_engine.py), measured verdict
+    #: in docs/PERF.md.  Fast path (fmap bank + tree carry + step gather)
+    #: only; other modes fall back to 'seq'.
+    ensemble_fuse: str = "seq"
 
 
 def bank_labels(spec: EpisodeSpec, replicas: int) -> jnp.ndarray:
@@ -162,11 +169,10 @@ def _bank_fmap(
     return jax.lax.stop_gradient(fmap.reshape((-1,) + fmap.shape[2:]))
 
 
-def _adapt_block(
+def _prepare_adapt(
     params,
     stats,
     bank_y,
-    key,
     *,
     bcfg: bb.ResNetCfg,
     tcfg: TransferCfg,
@@ -176,18 +182,16 @@ def _adapt_block(
     perm_span: Optional[int] = None,
     bank_x: Optional[jnp.ndarray] = None,
     fmap_bank: Optional[jnp.ndarray] = None,
-    schedule=None,
 ):
-    """Fine-tune the final block (and optional linear head) on a bank.
+    """Build one member's inner-loop task: ``(p0, loss_fn, tx, icfg, finish,
+    ctx)`` with ``finish(adapted) -> (block, head)``.
 
-    Exactly one of ``fmap_bank`` (fast path: precomputed frozen-trunk feature
-    maps, already restricted to the permutation span) or ``bank_x``
-    (faithful path: bank images; the full backbone reruns per minibatch,
-    reference finetune.py:286) must be given.  ``perm_span``: permutations
-    span only the first ``perm_span`` bank rows (the linear member's
-    clean-support-only quirk).
-
-    Returns ``(adapted_block, adapted_head)``.
+    ``loss_fn/p0/tx`` drive :func:`inner_fit` directly (the default
+    tree-carry, per-step-gather mode) — and, because tasks are first-class
+    here, two members' tasks can share ONE scan
+    (:func:`~mft_tpu.train.inner_loop.inner_fit_pair`, the ensemble
+    lane-fusion path).  ``ctx`` carries the pieces the special scan modes in
+    :func:`_adapt_block` (flat carry / epochwise gather) reuse.
     """
     trunk_p, block_p = bb.adapt_split(params)
     trunk_s, block_s = bb.adapt_split(stats)
@@ -216,61 +220,99 @@ def _adapt_block(
         return feats
 
     adam = opt.torch_adam if tcfg.opt_state_dtype == "float32" else opt.torch_adam_lowmem
-    epochwise = fast and tcfg.inner_gather == "epoch"
-    # flat contiguous carry: ravel the adapted tensors into one buffer per
-    # optimizer group so the scan's Adam update is a single fused kernel
-    # over contiguous memory instead of one per leaf (elementwise-identical)
-    flat_mode = tcfg.inner_carry == "flat" and not epochwise
-    if flat_mode:
-        from jax.flatten_util import ravel_pytree
-    if epochwise:
-        from mft_tpu.train.inner_loop import inner_fit_epochwise
-
-        banks = {"x": fmap_bank, "y": bank_y[:span]}
-
-        def chunk_feats(block, chunk, w):
-            return bb.apply_final_block(block, block_s, chunk["x"], cfg=bcfg, train=bn_train, sample_mask=w)
 
     if head is None:
         # GNN member: CE on raw features-as-logits (finetune.py:286-291)
         tx = adam(tcfg.inner_lr)
-        if epochwise:
+        p0 = block_p
+
+        def loss_fn(p, idx, w):
+            return ce_loss(features_of(p, idx, w), bank_y[idx], w)
+
+        finish = lambda adapted: (adapted, None)
+    else:
+        # linear member: CE through the classifier; block + head train unless
+        # the backbone is frozen (finetune.py:123-124,144-164)
+        p0 = {"adapt": block_p, "head": head}
+        if tcfg.freeze_backbone or train_head_only:
+            tx = opt.grouped(
+                {"adapt": opt.torch_sgd(0.0), "head": adam(tcfg.inner_lr, tcfg.head_wd)},
+                {"adapt": "adapt", "head": "head"},
+            )
+        else:
+            tx = opt.grouped(
+                {"adapt": adam(tcfg.inner_lr), "head": adam(tcfg.inner_lr, tcfg.head_wd)},
+                {"adapt": "adapt", "head": "head"},
+            )
+
+        def loss_fn(p, idx, w):
+            feats = features_of(p["adapt"], idx, w)
+            return ce_loss(classifier_logits(p["head"], feats), bank_y[idx], w)
+
+        finish = lambda adapted: (adapted["adapt"], adapted["head"])
+
+    ctx = dict(
+        features_of=features_of, block_p=block_p, block_s=block_s, head=head,
+        bn_train=bn_train, fast=fast, span=span,
+    )
+    return p0, loss_fn, tx, icfg, finish, ctx
+
+
+def _adapt_block(
+    params,
+    stats,
+    bank_y,
+    key,
+    *,
+    bcfg: bb.ResNetCfg,
+    tcfg: TransferCfg,
+    epochs: int,
+    head: Optional[dict],
+    train_head_only: bool = False,
+    perm_span: Optional[int] = None,
+    bank_x: Optional[jnp.ndarray] = None,
+    fmap_bank: Optional[jnp.ndarray] = None,
+    schedule=None,
+):
+    """Fine-tune the final block (and optional linear head) on a bank.
+
+    Exactly one of ``fmap_bank`` (fast path: precomputed frozen-trunk feature
+    maps, already restricted to the permutation span) or ``bank_x``
+    (faithful path: bank images; the full backbone reruns per minibatch,
+    reference finetune.py:286) must be given.  ``perm_span``: permutations
+    span only the first ``perm_span`` bank rows (the linear member's
+    clean-support-only quirk).
+
+    Returns ``(adapted_block, adapted_head)``.
+    """
+    p0, loss_fn, tx, icfg, finish, ctx = _prepare_adapt(
+        params, stats, bank_y, bcfg=bcfg, tcfg=tcfg, epochs=epochs, head=head,
+        train_head_only=train_head_only, perm_span=perm_span, bank_x=bank_x, fmap_bank=fmap_bank,
+    )
+    epochwise = ctx["fast"] and tcfg.inner_gather == "epoch"
+    # flat contiguous carry: ravel the adapted tensors into one buffer per
+    # optimizer group so the scan's Adam update is a single fused kernel
+    # over contiguous memory instead of one per leaf (elementwise-identical)
+    flat_mode = tcfg.inner_carry == "flat" and not epochwise
+    if not epochwise and not flat_mode:
+        return finish(inner_fit(loss_fn, p0, tx, key, icfg, schedule=schedule))
+
+    features_of, block_p, block_s = ctx["features_of"], ctx["block_p"], ctx["block_s"]
+    head, bn_train = ctx["head"], ctx["bn_train"]
+    if epochwise:
+        from mft_tpu.train.inner_loop import inner_fit_epochwise
+
+        banks = {"x": fmap_bank, "y": bank_y[: ctx["span"]]}
+
+        def chunk_feats(block, chunk, w):
+            return bb.apply_final_block(block, block_s, chunk["x"], cfg=bcfg, train=bn_train, sample_mask=w)
+
+        if head is None:
             def loss_fn_e(p, chunk, w):
                 return ce_loss(chunk_feats(p, chunk, w), chunk["y"], w)
 
             return inner_fit_epochwise(loss_fn_e, block_p, tx, key, icfg, banks), None
 
-        if flat_mode:
-            flat0, unravel = ravel_pytree(block_p)
-
-            def loss_fn_f(f, idx, w):
-                return ce_loss(features_of(unravel(f), idx, w), bank_y[idx], w)
-
-            adapted_f = inner_fit(loss_fn_f, flat0, tx, key, icfg, schedule=schedule)
-            return unravel(adapted_f), None
-
-        def loss_fn(p, idx, w):
-            feats = features_of(p, idx, w)
-            return ce_loss(feats, bank_y[idx], w)
-
-        adapted = inner_fit(loss_fn, block_p, tx, key, icfg, schedule=schedule)
-        return adapted, None
-
-    # linear member: CE through the classifier; block + head train unless
-    # the backbone is frozen (finetune.py:123-124,144-164)
-    p0 = {"adapt": block_p, "head": head}
-
-    if tcfg.freeze_backbone or train_head_only:
-        tx = opt.grouped(
-            {"adapt": opt.torch_sgd(0.0), "head": adam(tcfg.inner_lr, tcfg.head_wd)},
-            {"adapt": "adapt", "head": "head"},
-        )
-    else:
-        tx = opt.grouped(
-            {"adapt": adam(tcfg.inner_lr), "head": adam(tcfg.inner_lr, tcfg.head_wd)},
-            {"adapt": "adapt", "head": "head"},
-        )
-    if epochwise:
         def loss_fn_e(p, chunk, w):
             logits = classifier_logits(p["head"], chunk_feats(p["adapt"], chunk, w))
             return ce_loss(logits, chunk["y"], w)
@@ -278,26 +320,28 @@ def _adapt_block(
         adapted = inner_fit_epochwise(loss_fn_e, p0, tx, key, icfg, banks)
         return adapted["adapt"], adapted["head"]
 
-    if flat_mode:
-        flat_a, unravel_a = ravel_pytree(block_p)
-        flat_h, unravel_h = ravel_pytree(head)
-        p0 = {"adapt": flat_a, "head": flat_h}
+    from jax.flatten_util import ravel_pytree
 
-        def loss_fn_f(p, idx, w):
-            feats = features_of(unravel_a(p["adapt"]), idx, w)
-            logits = classifier_logits(unravel_h(p["head"]), feats)
-            return ce_loss(logits, bank_y[idx], w)
+    if head is None:
+        flat0, unravel = ravel_pytree(block_p)
 
-        adapted = inner_fit(loss_fn_f, p0, tx, key, icfg, schedule=schedule)
-        return unravel_a(adapted["adapt"]), unravel_h(adapted["head"])
+        def loss_fn_f(f, idx, w):
+            return ce_loss(features_of(unravel(f), idx, w), bank_y[idx], w)
 
-    def loss_fn(p, idx, w):
-        feats = features_of(p["adapt"], idx, w)
-        logits = classifier_logits(p["head"], feats)
+        adapted_f = inner_fit(loss_fn_f, flat0, tx, key, icfg, schedule=schedule)
+        return unravel(adapted_f), None
+
+    flat_a, unravel_a = ravel_pytree(block_p)
+    flat_h, unravel_h = ravel_pytree(head)
+    pf = {"adapt": flat_a, "head": flat_h}
+
+    def loss_fn_f(p, idx, w):
+        feats = features_of(unravel_a(p["adapt"]), idx, w)
+        logits = classifier_logits(unravel_h(p["head"]), feats)
         return ce_loss(logits, bank_y[idx], w)
 
-    adapted = inner_fit(loss_fn, p0, tx, key, icfg, schedule=schedule)
-    return adapted["adapt"], adapted["head"]
+    adapted = inner_fit(loss_fn_f, pf, tx, key, icfg, schedule=schedule)
+    return unravel_a(adapted["adapt"]), unravel_h(adapted["head"])
 
 
 def _embed_episode(params, stats, episode, *, bcfg, spec, train: bool = True):
@@ -514,6 +558,18 @@ def ensemble_episode_scores(
     (finetune.py:648-650).  Both members share ``k_aug`` — the reference
     hands the same liz_x bank to both (finetune.py:648-650)."""
     k1, k2 = jax.random.split(key)
+    if (
+        tcfg.ensemble_fuse == "lane"
+        and _is_fast_bank(support_bank)
+        and not tcfg.freeze_backbone
+        and tcfg.inner_gather == "step"
+        and tcfg.inner_carry == "tree"
+    ):
+        return _fused_ensemble_scores(
+            baseline_params, baseline_stats, gnn_backbone_params, gnn_backbone_stats,
+            gnn_head, episode, support_bank, k_aug, k1, k2,
+            bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+        )
     s_lin = linear_member_scores(
         baseline_params, baseline_stats, episode, support_bank, k_aug, k1,
         bcfg=bcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
@@ -522,6 +578,79 @@ def ensemble_episode_scores(
         gnn_backbone_params, gnn_backbone_stats, gnn_head, episode, support_bank, k_aug, k2,
         bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
     )
+    return s_lin + s_gnn
+
+
+def _fused_ensemble_scores(
+    baseline_params,
+    baseline_stats,
+    gnn_backbone_params,
+    gnn_backbone_stats,
+    gnn_head,
+    episode,
+    support_bank,
+    k_aug,
+    k_lin,
+    k_gnn,
+    *,
+    bcfg: bb.ResNetCfg,
+    gcfg: GnnNetCfg,
+    spec: EpisodeSpec,
+    tcfg: TransferCfg,
+    aug_cfg=None,
+    gen_examples: int = 0,
+):
+    """``ensemble_fuse='lane'``: both members' inner scans share iterations
+    (inner_fit_pair) instead of running back to back — the linear member's
+    100 steps ride the GNN member's first 100 of 500 as extra lanes, so the
+    fused eval runs 500 scan iterations instead of 600.  Key flow, bank
+    construction, schedules, and update math mirror the sequential members
+    exactly (numerical identity pinned by
+    tests/test_eval_engine.py::test_ensemble_fuse_lane_matches_seq)."""
+    from mft_tpu.train.inner_loop import inner_fit_pair
+
+    # linear member pre-phase (mirrors linear_member_scores:440-452)
+    k_head, k_fit_lin = jax.random.split(k_lin)
+    head0 = init_classifier(k_head, bcfg.feat_dim, spec.n_way, zero_bias=False)
+    fmap_lin, _, n_rep_lin = _member_bank(
+        baseline_params, baseline_stats, support_bank, k_aug,
+        bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples, clean_only=True,
+    )
+    p_lin, loss_lin, tx_lin, icfg_lin, fin_lin, _ = _prepare_adapt(
+        baseline_params, baseline_stats, bank_labels(spec, n_rep_lin),
+        bcfg=bcfg, tcfg=tcfg, epochs=tcfg.linear_epochs, head=head0,
+        perm_span=spec.support_size, fmap_bank=fmap_lin,
+    )
+    # GNN member pre-phase (mirrors _finetune_features:358-366)
+    fmap_gnn, _, n_rep_gnn = _member_bank(
+        gnn_backbone_params, gnn_backbone_stats, support_bank, k_aug,
+        bcfg=bcfg, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples,
+    )
+    p_gnn, loss_gnn, tx_gnn, icfg_gnn, fin_gnn, _ = _prepare_adapt(
+        gnn_backbone_params, gnn_backbone_stats, bank_labels(spec, n_rep_gnn),
+        bcfg=bcfg, tcfg=tcfg, epochs=tcfg.fine_tune_epochs, head=None, fmap_bank=fmap_gnn,
+    )
+
+    a_lin, a_gnn = inner_fit_pair(
+        loss_lin, p_lin, tx_lin, k_fit_lin, icfg_lin,
+        loss_gnn, p_gnn, tx_gnn, k_gnn, icfg_gnn,
+    )
+    lin_block, lin_head = fin_lin(a_lin)
+    gnn_block, _ = fin_gnn(a_gnn)
+
+    # scoring (mirrors linear_member_scores:453-457 / gnn_member_scores:406-412)
+    trunk_b, _ = bb.adapt_split(baseline_params)
+    feats_b = _embed_episode(
+        bb.adapt_merge(trunk_b, lin_block), baseline_stats, episode, bcfg=bcfg, spec=spec,
+    )
+    q_feats = feats_b[:, spec.n_support :].reshape(spec.query_size, -1)
+    s_lin = jax.nn.softmax(classifier_logits(lin_head, q_feats), axis=1)
+
+    trunk_g, _ = bb.adapt_split(gnn_backbone_params)
+    feats_g = _embed_episode(
+        bb.adapt_merge(trunk_g, gnn_block), gnn_backbone_stats, episode, bcfg=bcfg, spec=spec,
+    )
+    s_gnn = jax.nn.softmax(gnn_scores(gnn_head, feats_g, gcfg, spec.n_query), axis=1)
     return s_lin + s_gnn
 
 

@@ -127,6 +127,70 @@ def inner_fit(
     return params
 
 
+def inner_fit_pair(
+    loss_a: Callable,
+    params_a,
+    tx_a: optax.GradientTransformation,
+    key_a,
+    cfg_a: InnerLoopCfg,
+    loss_b: Callable,
+    params_b,
+    tx_b: optax.GradientTransformation,
+    key_b,
+    cfg_b: InnerLoopCfg,
+):
+    """Two INDEPENDENT adaptation loops in one ``lax.scan`` (+ a tail scan
+    for the longer one) — ensemble-member lane fusion.
+
+    Numerically identical to ``inner_fit`` on each loop separately (same
+    key-derived schedules; splitting a scan at a step boundary is exact):
+    the ensemble's linear member (100 steps) and GNN member (500 steps)
+    adapt same-shaped final blocks back to back on the sequential path, so
+    their first 100 steps can share scan iterations — the two members'
+    parameter/optimizer streams ride the same HBM round trips, and the
+    fused eval runs 500 scan iterations instead of 600.  Whether that wins
+    depends on how far below the bandwidth bound the per-step traffic sits;
+    see docs/PERF.md for the measured verdict.
+    """
+    if cfg_a.epochs == 0 or cfg_b.epochs == 0:
+        return (
+            inner_fit(loss_a, params_a, tx_a, key_a, cfg_a),
+            inner_fit(loss_b, params_b, tx_b, key_b, cfg_b),
+        )
+    ia, wa = minibatch_schedule(key_a, cfg_a)
+    ib, wb = minibatch_schedule(key_b, cfg_b)
+    na, nb, ns = cfg_a.n_steps, cfg_b.n_steps, min(cfg_a.n_steps, cfg_b.n_steps)
+    ga, gb = jax.grad(loss_a), jax.grad(loss_b)
+
+    def step_a(carry, sched):
+        p, s = carry
+        idx, w = sched
+        updates, s = tx_a.update(ga(p, idx, w), s, p)
+        return (optax.apply_updates(p, updates), s), None
+
+    def step_b(carry, sched):
+        p, s = carry
+        idx, w = sched
+        updates, s = tx_b.update(gb(p, idx, w), s, p)
+        return (optax.apply_updates(p, updates), s), None
+
+    def fused(carry, sched):
+        ca, cb = carry
+        xa, xb = sched
+        ca, _ = step_a(ca, xa)
+        cb, _ = step_b(cb, xb)
+        return (ca, cb), None
+
+    init = ((params_a, tx_a.init(params_a)), (params_b, tx_b.init(params_b)))
+    xs = ((ia[:ns], wa[:ns]), (ib[:ns], wb[:ns]))
+    (ca, cb), _ = jax.lax.scan(fused, init, xs)
+    if na > ns:
+        ca, _ = jax.lax.scan(step_a, ca, (ia[ns:], wa[ns:]))
+    if nb > ns:
+        cb, _ = jax.lax.scan(step_b, cb, (ib[ns:], wb[ns:]))
+    return ca[0], cb[0]
+
+
 def inner_fit_carry(
     loss_fn: Callable,
     params,

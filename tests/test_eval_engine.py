@@ -89,6 +89,30 @@ def test_ensemble_sums_two_softmaxes():
     np.testing.assert_allclose(np.asarray(scores).sum(1), 2.0, atol=1e-5)
 
 
+def test_ensemble_fuse_lane_matches_seq():
+    """ensemble_fuse='lane' (both members' inner scans share iterations,
+    inner_fit_pair) is numerically identical to the sequential path: same
+    key flow, same schedules, same update math — only the scan structure
+    differs (and lax.scan splitting at a step boundary is exact).  Uses
+    unequal member epochs so both the fused prefix AND the GNN tail scan
+    are exercised."""
+    params, stats, head, episode, support, replicas = _setup()
+    tcfg_seq = TCFG._replace(fine_tune_epochs=3, linear_epochs=2)
+    tcfg_lane = tcfg_seq._replace(ensemble_fuse="lane")
+
+    def run(tcfg):
+        fn = jax.jit(
+            lambda p, s, h, e, r, ka, k, t=tcfg: ee.ensemble_episode_scores(
+                p, s, p, s, h, e, r, ka, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=t, **MKW
+            )
+        )
+        return np.asarray(
+            fn(params, stats, head, episode, support, jax.random.PRNGKey(0), jax.random.PRNGKey(3))
+        )
+
+    np.testing.assert_allclose(run(tcfg_lane), run(tcfg_seq), atol=2e-6)
+
+
 def test_episode_scores_deterministic_and_vmappable():
     params, stats, head, episode, support, replicas = _setup()
     fn = jax.jit(
