@@ -97,6 +97,7 @@ def main():
         inner_gather=os.environ.get("BENCH_INNER_GATHER", "step"),
         inner_carry=os.environ.get("BENCH_INNER_CARRY", "tree"),
         ensemble_fuse=os.environ.get("BENCH_ENSEMBLE_FUSE", "seq"),
+        fanout_group_pass=int(os.environ.get("BENCH_FANOUT_GROUP_PASS", "1")),
     )
     program = ee.make_eval_program(
         method="all", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg, gen_examples=gen_examples

@@ -220,6 +220,9 @@ class BNCtx(NamedTuple):
     update_stats: bool
     momentum: float
     sample_mask: Optional[jnp.ndarray]
+    #: >1: batch statistics per contiguous group of N/groups rows (the eval
+    #: engine's batched replica-group fan-out; ops/norm.py:batch_norm)
+    groups: int = 1
 
 
 def _bn(x, p, s, ctx: BNCtx):
@@ -231,6 +234,7 @@ def _bn(x, p, s, ctx: BNCtx):
         update_stats=ctx.update_stats,
         momentum=ctx.momentum,
         sample_mask=ctx.sample_mask,
+        groups=ctx.groups,
     )
 
 
@@ -358,6 +362,7 @@ def apply_trunk(
     train: bool,
     sample_mask: Optional[jnp.ndarray] = None,
     rng=None,
+    bn_groups: int = 1,
 ):
     """Stem + every residual block *except the final one* -> feature map.
 
@@ -367,9 +372,13 @@ def apply_trunk(
     once per inner-loop minibatch — ~4/5 of the inner-loop FLOPs removed.
     Only valid with batch-stats BN ("episode" bn_mode; the faithful
     per-minibatch mode must run the full backbone per step).
+
+    ``bn_groups > 1``: ``x`` stacks that many replica groups; every BN
+    computes statistics per group (ops/norm.py) — equal to separate
+    per-group passes, in one kernel (the eval engine's batched fan-out).
     """
     cd = _cd(cfg)
-    ctx = BNCtx(train, False, 0.1, sample_mask)
+    ctx = BNCtx(train, False, 0.1, sample_mask, bn_groups)
     fwt = cfg.block == "fwt"
     if cfg.stem:
         x = conv2d(x, params["stem_conv"], stride=2, padding=3, compute_dtype=cd)

@@ -61,6 +61,7 @@ def batch_norm(
     momentum: float = 0.1,
     sample_mask: Optional[jnp.ndarray] = None,
     eps: float = EPS,
+    groups: int = 1,
 ) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Normalize over all axes but the last (channel) axis.
 
@@ -72,10 +73,29 @@ def batch_norm(
       * normalization uses the biased variance of the batch,
       * the running-var update uses the *unbiased* batch variance
         with torch momentum convention ``new = (1-m)*old + m*batch``.
+
+    ``groups``: batch-stats statistics computed independently per contiguous
+    group of ``N/groups`` leading rows — numerically equal to running the
+    groups through separate calls, but one kernel.  Lets the eval engine
+    batch the replica-group trunk fan-out (each replica group keeps its own
+    whole-bank BN statistics, reference finetune.py:225-233 semantics)
+    without one trunk pass per group.
     """
     in_dtype = x.dtype
     # statistics in >=f32 (bf16-safe); f64 inputs keep f64 (x64 golden tests)
     x = x.astype(jnp.promote_types(in_dtype, jnp.float32))
+    if groups > 1:
+        assert use_batch_stats and not update_stats and sample_mask is None, (
+            "grouped BN supports the batch-stats, no-update, unmasked path only"
+        )
+        assert x.shape[0] % groups == 0, (x.shape, groups)
+        xg = x.reshape((groups, x.shape[0] // groups) + x.shape[1:])
+        red = tuple(range(1, xg.ndim - 1))
+        mean = jnp.mean(xg, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=red, keepdims=True)
+        inv = jnp.asarray(1.0, x.dtype) / jnp.sqrt(var + eps)
+        y = (xg - mean) * (inv * params["scale"].astype(x.dtype)) + params["bias"].astype(x.dtype)
+        return y.reshape(x.shape).astype(in_dtype), stats
     reduce_axes = tuple(range(x.ndim - 1))
     if use_batch_stats:
         mean, var, count = _masked_moments(x, reduce_axes, sample_mask)

@@ -90,6 +90,12 @@ class TransferCfg(NamedTuple):
     #: in docs/PERF.md.  Fast path (fmap bank + tree carry + step gather)
     #: only; other modes fall back to 'seq'.
     ensemble_fuse: str = "seq"
+    #: replica groups per trunk pass in the eval bank fan-out (1 = one pass
+    #: per group).  >1 stacks groups into one conv batch with PER-GROUP BN
+    #: statistics (ops/norm.py groups) — numerically equal to separate
+    #: passes (pinned in tests), fewer/larger MXU launches.  Rounded down to
+    #: a divisor of gen_examples+1; measured verdict in docs/PERF.md.
+    fanout_group_pass: int = 1
 
 
 def bank_labels(spec: EpisodeSpec, replicas: int) -> jnp.ndarray:
@@ -114,9 +120,10 @@ def _bank_fmap(
     gen_examples: int,
     bn_train: bool,
     clean_only: bool = False,
+    group_pass: int = 1,
 ):
     """Frozen-trunk feature maps of the eval support bank, one replica group
-    at a time.
+    at a time (or ``group_pass`` groups per batched pass).
 
     TPU-first memory shape: the reference materializes the whole augmented
     image bank (f32 ``[R*support, 224, 224, 3]`` ≈ 300 MB per episode lane);
@@ -158,9 +165,44 @@ def _bank_fmap(
         out = jax.lax.map(lambda xc: bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=bn_train), sub)
         return out.reshape((n,) + out.shape[2:])
 
-    clean = trunk_of(center_batch(support, aug_cfg.image_size, dtype=dt))
     if clean_only:
-        return jax.lax.stop_gradient(clean)
+        return jax.lax.stop_gradient(trunk_of(center_batch(support, aug_cfg.image_size, dtype=dt)))
+
+    # batched fan-out: stack `gpp` replica groups per trunk pass with
+    # per-group BN statistics (bn_groups) — numerically equal to per-group
+    # passes (tests/test_eval_engine.py::test_fanout_group_pass_matches),
+    # fewer/larger MXU launches.  gpp is rounded down to a divisor of
+    # G = gen_examples + 1 (clean rides along as group 0) under a
+    # 512-image/pass activation-memory guard; gpp == 1 keeps the original
+    # group-at-a-time path (which also never materializes more than one
+    # group's images).
+    G = gen_examples + 1
+    gpp = 1
+    if gen_examples and bn_train:
+        for d in range(min(group_pass, G), 1, -1):
+            if G % d == 0 and d * n <= 512:
+                gpp = d
+                break
+    if gpp > 1:
+        keys = jax.random.split(key, gen_examples)
+        aug_imgs = jax.vmap(lambda k: augment_batch(k, support, aug_cfg, dtype=dt))(keys)
+        clean_imgs = center_batch(support, aug_cfg.image_size, dtype=dt)
+        allg = jnp.concatenate([clean_imgs[None], aug_imgs], axis=0)  # [G, way, shot, S, S, 3]
+        flatg = allg.reshape((G * n,) + allg.shape[3:])
+
+        def grouped_trunk(xc):
+            return bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=bn_train, bn_groups=gpp)
+
+        if G == gpp:
+            out = grouped_trunk(flatg)
+        else:
+            passes = flatg.reshape((G // gpp, gpp * n) + flatg.shape[1:])
+            out = jax.lax.map(grouped_trunk, passes)
+        out = out.reshape((G, n) + out.shape[-3:])
+        fmap = jnp.concatenate([out[:1], out[:1], out], axis=0)  # clean x3 + augs
+        return jax.lax.stop_gradient(fmap.reshape((-1,) + fmap.shape[2:]))
+
+    clean = trunk_of(center_batch(support, aug_cfg.image_size, dtype=dt))
     fmap = jnp.stack([clean, clean, clean])
     if gen_examples:
         keys = jax.random.split(key, gen_examples)
@@ -372,6 +414,7 @@ def _member_bank(
         fmap = _bank_fmap(
             trunk_p, trunk_s, support_bank, k_aug, bcfg=bcfg, aug_cfg=aug_cfg,
             gen_examples=gen_examples, bn_train=not tcfg.freeze_backbone, clean_only=clean_only,
+            group_pass=tcfg.fanout_group_pass,
         )
         return fmap, None, (1 if clean_only else gen_examples + 3)
     return None, _bank_images(support_bank), support_bank.shape[0]

@@ -113,6 +113,62 @@ def test_ensemble_fuse_lane_matches_seq():
     np.testing.assert_allclose(run(tcfg_lane), run(tcfg_seq), atol=2e-6)
 
 
+def test_fanout_group_pass_matches():
+    """fanout_group_pass > 1 (replica groups batched into one trunk pass
+    with per-group BN statistics) equals the group-at-a-time fan-out: same
+    augment draws, same per-group whole-bank BN semantics, one kernel.
+    gen_examples=3 -> G=4 groups; group_pass=2 exercises the multi-pass
+    lax.map reshape, 4 the single-pass path.  The feature bank is compared
+    tightly (the only tolerance is conv batch-size accumulation order,
+    ~1e-5); downstream scores are compared by argmax + a loose bound (500
+    chaotic Adam steps amplify that 1e-5)."""
+    params, stats, head, episode, support, replicas = _setup()
+    trunk_p, _ = bb.adapt_split(params)
+    trunk_s, _ = bb.adapt_split(stats)
+
+    def fmap(gp):
+        fn = jax.jit(
+            lambda s: ee._bank_fmap(
+                trunk_p, trunk_s, s, jax.random.PRNGKey(5),
+                bcfg=BCFG, aug_cfg=ACFG, gen_examples=3, bn_train=True, group_pass=gp,
+            )
+        )
+        return np.asarray(fn(support))
+
+    base_fmap = fmap(1)
+    for gp in (2, 4):
+        np.testing.assert_allclose(fmap(gp), base_fmap, atol=1e-4)
+
+    def scores(tcfg):
+        fn = jax.jit(
+            lambda p, s, h, e, r, ka, k, t=tcfg: ee.gnn_member_scores(
+                p, s, h, e, r, ka, k, bcfg=BCFG, gcfg=GCFG, spec=SPEC, tcfg=t,
+                aug_cfg=ACFG, gen_examples=3,
+            )
+        )
+        return np.asarray(
+            fn(params, stats, head, episode, support, jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+        )
+
+    base = scores(TCFG)
+    got = scores(TCFG._replace(fanout_group_pass=4))
+    assert (got.argmax(1) == base.argmax(1)).mean() >= 0.9
+    np.testing.assert_allclose(got, base, atol=0.05)
+
+
+def test_grouped_batch_norm_matches_per_group():
+    """ops/norm.py batch_norm(groups=G) == G separate batch-stats calls."""
+    from mft_tpu.ops.norm import batch_norm
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(12, 6, 6, 4).astype(np.float32))
+    p = {"scale": jnp.asarray(rs.rand(4).astype(np.float32) + 0.5),
+         "bias": jnp.asarray(rs.randn(4).astype(np.float32) * 0.2)}
+    grouped, _ = jax.jit(lambda x: batch_norm(x, p, None, use_batch_stats=True, groups=3))(x)
+    per = [jax.jit(lambda xg: batch_norm(xg, p, None, use_batch_stats=True)[0])(x[i * 4 : (i + 1) * 4]) for i in range(3)]
+    np.testing.assert_allclose(np.asarray(grouped), np.concatenate([np.asarray(v) for v in per]), atol=1e-6)
+
+
 def test_episode_scores_deterministic_and_vmappable():
     params, stats, head, episode, support, replicas = _setup()
     fn = jax.jit(
