@@ -171,11 +171,12 @@ def _bank_fmap(
     # batched fan-out: stack `gpp` replica groups per trunk pass with
     # per-group BN statistics (bn_groups) — numerically equal to per-group
     # passes (tests/test_eval_engine.py::test_fanout_group_pass_matches),
-    # fewer/larger MXU launches.  gpp is rounded down to a divisor of
-    # G = gen_examples + 1 (clean rides along as group 0) under a
-    # 512-image/pass activation-memory guard; gpp == 1 keeps the original
-    # group-at-a-time path (which also never materializes more than one
-    # group's images).
+    # fewer/larger MXU launches.  STREAMING: each pass augments its own gpp
+    # groups inside the lax.map body (clean selected into slot 0 of pass 0),
+    # so peak image memory is gpp groups — never the whole bank.  gpp is
+    # rounded down to a divisor of G = gen_examples + 1 under a
+    # 512-image/pass activation guard; gpp == 1 keeps the original
+    # group-at-a-time path.
     G = gen_examples + 1
     gpp = 1
     if gen_examples and bn_train:
@@ -185,19 +186,25 @@ def _bank_fmap(
                 break
     if gpp > 1:
         keys = jax.random.split(key, gen_examples)
-        aug_imgs = jax.vmap(lambda k: augment_batch(k, support, aug_cfg, dtype=dt))(keys)
+        all_keys = jnp.concatenate([keys[:1], keys], axis=0)  # slot 0 = dummy
+        is_clean = jnp.arange(G) == 0
         clean_imgs = center_batch(support, aug_cfg.image_size, dtype=dt)
-        allg = jnp.concatenate([clean_imgs[None], aug_imgs], axis=0)  # [G, way, shot, S, S, 3]
-        flatg = allg.reshape((G * n,) + allg.shape[3:])
 
-        def grouped_trunk(xc):
-            return bb.apply_trunk(trunk_p, trunk_s, xc, cfg=bcfg, train=bn_train, bn_groups=gpp)
+        def pass_body(xs):
+            ks, flags = xs  # [gpp] keys, [gpp] bool
+            imgs = jax.vmap(lambda k: augment_batch(k, support, aug_cfg, dtype=dt))(ks)
+            imgs = jnp.where(
+                flags.reshape((gpp,) + (1,) * (imgs.ndim - 1)), clean_imgs[None], imgs
+            )
+            flat = imgs.reshape((gpp * n,) + imgs.shape[3:])
+            return bb.apply_trunk(trunk_p, trunk_s, flat, cfg=bcfg, train=bn_train, bn_groups=gpp)
 
+        xs = (all_keys.reshape((G // gpp, gpp) + all_keys.shape[1:]),
+              is_clean.reshape(G // gpp, gpp))
         if G == gpp:
-            out = grouped_trunk(flatg)
+            out = pass_body((all_keys, is_clean))
         else:
-            passes = flatg.reshape((G // gpp, gpp * n) + flatg.shape[1:])
-            out = jax.lax.map(grouped_trunk, passes)
+            out = jax.lax.map(pass_body, xs)
         out = out.reshape((G, n) + out.shape[-3:])
         fmap = jnp.concatenate([out[:1], out[:1], out], axis=0)  # clean x3 + augs
         return jax.lax.stop_gradient(fmap.reshape((-1,) + fmap.shape[2:]))
