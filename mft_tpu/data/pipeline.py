@@ -7,9 +7,11 @@ datasets/CropDisease_few_shot.py:112-124, 351-353): the measured wall-clock
 bottleneck (SURVEY.md §3.4).
 
 Here the host decodes each image exactly once to a canonical base
-resolution (thread pool over PIL), ships ``[n_way, s+q, base, base, 3]``
-float32 episodes to the device, and all replica fan-out / augmentation runs
-on device (ops/augment.py).
+resolution — through the native C/libjpeg pipeline when available
+(native_decode.py; bit-identical to PIL, canary-gated), else a thread pool
+over PIL — ships ``[n_way, s+q, base, base, 3]`` uint8 episodes to the
+device, and all replica fan-out / augmentation runs on device
+(ops/augment.py).
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ import weakref
 import numpy as np
 
 from mft_tpu.core.episode import EpisodeSpec
+from mft_tpu.data import native_decode
 from mft_tpu.data.manifests import Manifest
 from mft_tpu.data.sampler import EpisodicSampler
 
@@ -156,7 +159,10 @@ class EpisodeStream:
                 except Exception:
                     pass  # torn write from a crashed run: fall through, re-decode
         flat = ep.items.reshape(-1)
-        imgs = list(self._decode_pool.map(lambda j: decode_image(self.manifest.items[j], self.base_size), flat))
+        imgs = native_decode.decode_many(
+            [self.manifest.items[j] for j in flat], self.base_size,
+            pool=self._decode_pool, workers=self.workers, fallback=decode_image,
+        )
         images = np.stack(imgs).reshape(
             self.spec.n_way, self.spec.n_per_class, self.base_size, self.base_size, 3
         )
@@ -213,5 +219,8 @@ class BatchStream:
                 else:
                     idx = perm[used : used + self.batch_size]
                     used += self.batch_size
-                imgs = list(pool.map(lambda j: decode_image(self.manifest.items[j], self.base_size), idx))
+                imgs = native_decode.decode_many(
+                    [self.manifest.items[j] for j in idx], self.base_size,
+                    pool=pool, workers=self.workers, fallback=decode_image,
+                )
                 yield np.stack(imgs), self.manifest.labels[idx]

@@ -47,7 +47,11 @@ def main():
     ap.add_argument("--finetune", action="store_true", help="also drive cli.finetune end to end")
     ap.add_argument("--cache", action="store_true",
                     help="measure the decoded-episode cache: cold pass (decode+persist) then warm pass")
+    ap.add_argument("--backend", default=None, choices=["native", "pil", "both"],
+                    help="decode backend (sets MFT_NATIVE_DECODE; 'both' measures the two back to back)")
     a = ap.parse_args()
+    if a.backend:
+        os.environ["MFT_NATIVE_DECODE"] = {"native": "1", "pil": "0"}.get(a.backend, "auto")
 
     root = a.keep or tempfile.mkdtemp(prefix="mft_jpegs_")
     t0 = time.time()
@@ -60,17 +64,26 @@ def main():
 
     man = image_folder(root)
     spec = EpisodeSpec(5, 5, 15)  # eval geometry: 100 images/episode
-    stream = EpisodeStream(man, spec, a.episodes, base_size=a.base_size, workers=a.workers)
 
-    # warm the page cache + pool
-    next(iter(EpisodeStream(man, spec, 2, base_size=a.base_size, workers=a.workers)))
-    t0 = time.perf_counter()
-    count = 0
-    for images, _ in stream:
-        assert images.shape == (5, 20, a.base_size, a.base_size, 3)
-        count += 1
-    dt = time.perf_counter() - t0
-    print(f"decode throughput: {count/dt:.2f} episodes/sec ({count*100/dt:.0f} images/sec, {a.workers} threads)")
+    from mft_tpu.data import native_decode
+
+    backends = ["1", "0"] if a.backend == "both" else [os.environ.get("MFT_NATIVE_DECODE", "auto")]
+    for mode in backends:
+        os.environ["MFT_NATIVE_DECODE"] = mode
+        name = native_decode.backend()
+        stream = EpisodeStream(man, spec, a.episodes, base_size=a.base_size, workers=a.workers)
+        # warm the page cache + pool
+        next(iter(EpisodeStream(man, spec, 2, base_size=a.base_size, workers=a.workers)))
+        t0 = time.perf_counter()
+        count = 0
+        for images, _ in stream:
+            assert images.shape == (5, 20, a.base_size, a.base_size, 3)
+            count += 1
+        dt = time.perf_counter() - t0
+        print(
+            f"decode throughput [{name}]: {count/dt:.2f} episodes/sec "
+            f"({count*100/dt:.0f} images/sec, {a.workers} threads)"
+        )
 
     if a.cache:
         cache_dir = tempfile.mkdtemp(prefix="mft_epcache_")
