@@ -304,6 +304,7 @@ def main(argv=None):
     print(a.test_dataset)
     print("%d Test Acc = %4.2f%% +- %4.2f%%" % (a.iter_num, mean, ci))
     print(f"episodes/sec = {eps:.3f}")
+    return mean, ci
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not any(a.startswith("--n_shot") for a in argv):
         argv += ["--n_shot", "50"]
-    finetune_cli.main(argv)
+    return finetune_cli.main(argv)
 
 
 if __name__ == "__main__":

@@ -133,7 +133,10 @@ def parse_args(script: str, argv=None, overrides: dict | None = None):
         parser.add_argument("--num_classes", default=200, type=int)
         parser.add_argument("--save_freq", default=50, type=int)
         parser.add_argument("--start_epoch", default=0, type=int)
-        parser.add_argument("--stop_epoch", default=400, type=int)
+        parser.add_argument("--stop_epoch", default=400, type=int,
+                            help="LAST epoch index, inclusive (the reference's is an exclusive "
+                                 "range() bound: its --stop_epoch 401 = this --stop_epoch 400; "
+                                 "docs/GUIDE.md §3)")
         parser.add_argument("--episodes_per_epoch", default=100, type=int)
         parser.add_argument("--batch_size", default=16, type=int, help="baseline pretraining batch")
     elif script in ("save_features", "test"):
