@@ -28,6 +28,15 @@ from mft_tpu.data.manifests import Manifest
 from mft_tpu.data.sampler import EpisodicSampler
 
 
+def default_workers() -> int:
+    """Decode-pool width: 2x available cores (decode overlaps file IO),
+    capped at 16.  nproc-adaptive because oversubscription costs real
+    throughput on small hosts — measured on this 1-core harness: 16
+    threads = 3.6-4.0 eps/s (thrash, either backend) vs 8.1-12.4 eps/s at
+    1-2 threads (docs/PERF.md "Host input pipeline")."""
+    return max(1, min(16, 2 * (os.cpu_count() or 1)))
+
+
 def decode_image(item, base_size: int) -> np.ndarray:
     """Decode one manifest item to uint8 [base, base, 3].
 
@@ -108,7 +117,7 @@ class EpisodeStream:
         *,
         base_size: int = 256,
         seed: int = 10,
-        workers: int = 16,
+        workers: int | None = None,
         prefetch: int = 2,
         cache_dir: str | None = None,
     ):
@@ -116,7 +125,7 @@ class EpisodeStream:
         self.spec = spec
         self.base_size = base_size
         self.sampler = EpisodicSampler(manifest.by_class(), spec, n_episodes, seed=seed)
-        self.workers = workers
+        self.workers = default_workers() if workers is None else workers
         self.prefetch = prefetch
         # one persistent decode pool for the stream's lifetime (a fresh pool
         # per episode churns worker threads on the hot input path); released
@@ -196,13 +205,13 @@ class BatchStream:
     chunked into batches, every item at most once per pass (re-permuting if
     ``n_batches`` asks for more than one pass), not independent draws."""
 
-    def __init__(self, manifest: Manifest, batch_size: int, n_batches: int, *, base_size: int = 256, seed: int = 10, workers: int = 16):
+    def __init__(self, manifest: Manifest, batch_size: int, n_batches: int, *, base_size: int = 256, seed: int = 10, workers: int | None = None):
         self.manifest = manifest
         self.batch_size = batch_size
         self.n_batches = n_batches
         self.base_size = base_size
         self.seed = seed
-        self.workers = workers
+        self.workers = default_workers() if workers is None else workers
 
     def __len__(self):
         return self.n_batches

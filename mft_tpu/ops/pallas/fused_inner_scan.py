@@ -418,7 +418,7 @@ def fused_inner_scan_lanes(
             lane_spec(idx.shape[1:], pltpu.SMEM),  # idx (scalar reads drive the DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wbc [T, B, C] (shared)
             lane_spec(onehot_steps.shape[1:], pltpu.VMEM),  # one-hots
-            pl.BlockSpec(memory_space=pltpu.ANY),  # fmap banks stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # fmap banks stay in HBM
         ]
         + [lane_spec(v.shape[1:], pltpu.VMEM) for v in pvals],
         out_specs=[lane_spec(v.shape[1:], pltpu.VMEM) for v in pvals],

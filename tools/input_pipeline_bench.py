@@ -42,7 +42,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes", type=int, default=100)
     ap.add_argument("--base_size", type=int, default=256)
-    ap.add_argument("--workers", type=int, default=16)
+    ap.add_argument("--workers", type=int, default=None,
+                    help="decode threads (default: auto = min(16, 2*nproc))")
     ap.add_argument("--keep", default=None, help="keep the JPEG tree at this path")
     ap.add_argument("--finetune", action="store_true", help="also drive cli.finetune end to end")
     ap.add_argument("--cache", action="store_true",
@@ -60,7 +61,10 @@ def main():
 
     from mft_tpu.core.episode import EpisodeSpec
     from mft_tpu.data.manifests import image_folder
-    from mft_tpu.data.pipeline import EpisodeStream
+    from mft_tpu.data.pipeline import EpisodeStream, default_workers
+
+    if a.workers is None:
+        a.workers = default_workers()
 
     man = image_folder(root)
     spec = EpisodeSpec(5, 5, 15)  # eval geometry: 100 images/episode
