@@ -147,8 +147,9 @@ def test_graft_entry_dryrun_default_fits_budget():
     assert "one sharded meta-finetune step OK" in r.stdout
     assert "one sharded method=all eval batch OK" in r.stdout
     # budget guard: keep well under the driver's timeout so coverage growth
-    # can't silently re-break the driver check
-    assert elapsed < 300, f"default dryrun took {elapsed:.0f}s (budget 300s)"
+    # can't silently re-break the driver check (r4 narrow-width dryrun:
+    # 23 s warm / 76 s with cold-compiled shapes on this host)
+    assert elapsed < 150, f"default dryrun took {elapsed:.0f}s (budget 150s)"
 
 
 def test_graft_entry_forward_compiles():
