@@ -196,7 +196,10 @@ done:
 int mft_decode_jpeg(const uint8_t *data, size_t len, int base_size, int draft, uint8_t *out) {
     struct jpeg_decompress_struct cinfo;
     struct err_mgr jerr;
-    uint8_t *raw = NULL;
+    /* volatile: modified between setjmp and longjmp and read in the
+     * handler (C99 7.13.2.1) — without it free(raw) after longjmp may see
+     * a register-restored stale value */
+    uint8_t *volatile raw = NULL;
     int rc = MFT_ERR_DECODE;
 
     if (len < 2 || data[0] != 0xFF || data[1] != 0xD8) return MFT_ERR_NOT_JPEG;
@@ -263,6 +266,7 @@ int mft_decode_jpeg_file(const char *path, int base_size, int draft, uint8_t *ou
     FILE *f = fopen(path, "rb");
     uint8_t *buf;
     long n;
+    size_t got;
     int rc;
 
     if (!f) return MFT_ERR_IO;
@@ -275,11 +279,12 @@ int mft_decode_jpeg_file(const char *path, int base_size, int draft, uint8_t *ou
         fclose(f);
         return MFT_ERR_IO;
     }
-    if (fread(buf, 1, (size_t)n, f) != (size_t)n) {
-        /* short read: still try — truncated files are tolerated downstream */
-    }
+    /* pass the bytes actually read: a short read (file shrank / IO error)
+     * must look like a truncated stream (fake-EOI tolerance), not hand the
+     * decoder uninitialized heap as entropy data */
+    got = fread(buf, 1, (size_t)n, f);
     fclose(f);
-    rc = mft_decode_jpeg(buf, (size_t)n, base_size, draft, out);
+    rc = mft_decode_jpeg(buf, got, base_size, draft, out);
     free(buf);
     return rc;
 }

@@ -56,10 +56,11 @@ def build(force: bool = False) -> bool:
     """Compile ``decode.c`` -> ``libmftdecode.so``.  Returns True on success."""
     if not force and os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return True
+    tmp = f"{_SO}.{os.getpid()}.tmp"  # pid-unique: concurrent builders must not interleave
     for cc in ("gcc", "cc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp", "-ljpeg", "-lpthread"],
+                [cc, "-O2", "-shared", "-fPIC", _SRC, "-o", tmp, "-ljpeg", "-lpthread"],
                 capture_output=True,
                 text=True,
                 timeout=120,
@@ -67,8 +68,10 @@ def build(force: bool = False) -> bool:
         except (OSError, subprocess.TimeoutExpired):
             continue
         if r.returncode == 0:
-            os.replace(_SO + ".tmp", _SO)
+            os.replace(tmp, _SO)
             return True
+    if os.path.exists(tmp):
+        os.unlink(tmp)
     return False
 
 

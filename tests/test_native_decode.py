@@ -137,6 +137,18 @@ def test_truncated_jpeg_survives(tmp_path):
     assert np.array_equal(native[:16], ref[:16])
 
 
+def test_corrupt_entropy_data_fails_cleanly():
+    """Valid JPEG header + garbage entropy data must return a DECODE error
+    through the longjmp error path (not crash the worker), and decode_many
+    must recover via the PIL fallback's LOAD_TRUNCATED semantics."""
+    rs = np.random.RandomState(6)
+    data = _jpeg_bytes(rs, 200, 150)
+    corrupt = data[:200] + bytes(rs.randint(0, 256, 400, dtype=np.uint8).tolist())
+    for _ in range(8):  # repeated: the r4-fixed setjmp/volatile path must be stable
+        out = nd.decode_jpeg_bytes(corrupt, 64, draft=True)
+        assert out is None or out.shape == (64, 64, 3)  # error or tolerated-truncation
+
+
 def test_backend_canary_and_env(monkeypatch):
     monkeypatch.setenv("MFT_NATIVE_DECODE", "0")
     assert nd.backend() == "pil"

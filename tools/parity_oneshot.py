@@ -181,7 +181,7 @@ def main(argv=None):
         pub = PUBLISHED.get((ds, shot))
         if pub:
             delta = r["acc"] - pub[0]
-            verdict = "PASS" if abs(delta) <= TOLERANCE_PP + pub[1] else "FAIL"
+            verdict = "PASS" if abs(delta) <= TOLERANCE_PP else "FAIL"
             rows.append((key, r, f"{pub[0]:.2f}±{pub[1]:.2f}", f"{delta:+.2f}", verdict))
         else:
             rows.append((key, r, "—", "—", "info"))
