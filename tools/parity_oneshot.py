@@ -12,11 +12,13 @@ this tool makes the day-one exercise literal:
     python tools/parity_oneshot.py --status        # stage check only
     python tools/parity_oneshot.py --skip_train    # eval existing checkpoints
     python tools/parity_oneshot.py --smoke         # end-to-end on synthetic
+    python tools/parity_oneshot.py --smoke_disk    # end-to-end on tiny staged
+                                                   # JPEG trees at REAL paths
 
 It (1) verifies every required dataset is staged (printing the exact
 `MFT_*_PATH` env var / mft_paths.json key and expected layout for each one
 that isn't), (2) runs the full reference training schedule — baseline
-supervised 0-401, episodic GnnNet 0-401, meta fine-tune 401-601
+supervised epochs 0-400, episodic GnnNet 0-400, meta fine-tune 401-600
 (/root/reference/README.md:144-190, io_utils.py:33) — (3) runs the headline
 `--method all` evals (finetune.py / finetune_50.py flags verbatim,
 episode-cache-accelerated), and (4) prints the comparison table against the
@@ -55,6 +57,23 @@ LAYOUT = {
 }
 
 
+def _write_tree(root: str, n_classes: int = 6, per_class: int = 24, size: int = 64, seed: int = 0):
+    """Tiny class-tinted JPEG ImageFolder tree (the --smoke_disk stand-in
+    for a real dataset: exercises path config -> ImageFolder manifest ->
+    native/PIL decode -> episode cache on actual files)."""
+    import numpy as np
+    from PIL import Image
+
+    rs = np.random.RandomState(seed)
+    tints = rs.rand(n_classes, 1, 1, 3)
+    for c in range(n_classes):
+        d = os.path.join(root, f"class_{c:02d}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_class):
+            img = np.clip(0.55 * tints[c] + 0.45 * rs.rand(size, size, 3), 0, 1)
+            Image.fromarray((img * 255).astype(np.uint8)).save(os.path.join(d, f"{i:03d}.jpg"), quality=88)
+
+
 def check_staged(datasets):
     """Try to build every needed manifest; return (ok: dict, missing: list)."""
     from mft_tpu import config as cfg_mod
@@ -83,14 +102,31 @@ def main(argv=None):
     ap.add_argument("--skip_train", action="store_true", help="evaluate existing checkpoints")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny end-to-end rehearsal on the synthetic dataset (no real data needed)")
+    ap.add_argument("--smoke_disk", action="store_true",
+                    help="like --smoke but stages tiny on-disk JPEG ImageFolder trees for "
+                         "miniImageNet/CropDisease and runs against REAL paths (exercises the "
+                         "actual day-one code path: MFT_*_PATH -> ImageFolder manifests -> "
+                         "native decode -> episode cache)")
     ap.add_argument("--episode_cache", default=None,
                     help="decoded-episode cache dir (default <save_dir>/epcache; '' disables)")
     a = ap.parse_args(argv)
 
+    tiny = a.smoke or a.smoke_disk
     if a.smoke:
         # rehearse the whole flow on synthetic data with tiny shapes
         a.test_datasets, a.shots, a.iter_num = ["synthetic"], [5], 4
         os.environ.setdefault("MFT_SAVE_DIR_PATH", "/tmp/mft_parity_smoke/logs")
+    elif a.smoke_disk:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="mft_parity_disk_")
+        _write_tree(os.path.join(root, "mini"))
+        _write_tree(os.path.join(root, "crop", "dataset", "train"), seed=1)
+        os.environ["MFT_MINIIMAGENET_PATH"] = os.path.join(root, "mini")
+        os.environ["MFT_CROPDISEASE_PATH"] = os.path.join(root, "crop")
+        os.environ.setdefault("MFT_SAVE_DIR_PATH", os.path.join(root, "logs"))
+        a.test_datasets, a.shots, a.iter_num = ["CropDisease"], [5], 4
+        print(f"[smoke_disk] staged tiny JPEG trees under {root}")
 
     from mft_tpu import config as cfg_mod
 
@@ -121,16 +157,16 @@ def main(argv=None):
     from mft_tpu.cli import train as tr
     from mft_tpu.cli import train_50 as tr50
 
-    size_args = ["--image_size", "32", "--base_size", "48"] if a.smoke else []
+    size_args = ["--image_size", "32", "--base_size", "48"] if tiny else []
     common = ["--dataset", train_ds, "--model", "ResNet10", "--train_aug"] + size_args
     if not a.skip_train:
         # the full reference schedule (README.md:144-190; io_utils.py:33)
         t0 = time.time()
         # repo stop_epoch is the inclusive last epoch index: reference
         # 401/601 (exclusive bounds) = 400/600 here (docs/GUIDE.md §3)
-        ep = ["--stop_epoch", "1", "--episodes_per_epoch", "2", "--save_freq", "1"] if a.smoke else ["--stop_epoch", "400"]
+        ep = ["--stop_epoch", "1", "--episodes_per_epoch", "2", "--save_freq", "1"] if tiny else ["--stop_epoch", "400"]
         ft_ep = (["--start_epoch", "1", "--stop_epoch", "2", "--episodes_per_epoch", "2", "--save_freq", "1"]
-                 if a.smoke else ["--start_epoch", "401", "--stop_epoch", "600"])
+                 if tiny else ["--start_epoch", "401", "--stop_epoch", "600"])
         tr.main(common + ["--method", "baseline"] + ep)
         tr.main(common + ["--method", "gnnnet", "--n_shot", "5"] + ep)
         tr.main(common + ["--method", "gnnnet", "--n_shot", "5", "--fine_tune"] + ft_ep)
@@ -138,7 +174,7 @@ def main(argv=None):
             tr50.main(common + ["--method", "gnnnet", "--n_shot", "50"] + ep)
             tr50.main(common + ["--method", "gnnnet", "--n_shot", "50", "--fine_tune"] + ft_ep)
         print(f"[train] full schedule done in {(time.time()-t0)/60:.1f} min")
-        if a.smoke:
+        if tiny:
             # the --method all ensemble pins baseline@400 / gnn@600
             # (reference finetune.py:473-480,516-523); the real schedule
             # produces those epochs naturally, the 1-epoch smoke renames
@@ -161,7 +197,7 @@ def main(argv=None):
                  "--iter_num", str(a.iter_num)]
                 + size_args + cache_args
             )
-            if a.smoke:
+            if tiny:
                 eval_args += ["--eval_batch", "2", "--gen_examples", "2", "--fine_tune_epoch", "1"]
             else:
                 eval_args += ["--gen_examples", "17", "--fine_tune_epoch", "5"]
@@ -181,7 +217,9 @@ def main(argv=None):
         pub = PUBLISHED.get((ds, shot))
         if pub:
             delta = r["acc"] - pub[0]
-            verdict = "PASS" if abs(delta) <= TOLERANCE_PP else "FAIL"
+            # smoke rehearsals run on tiny synthetic/staged data, where the
+            # published numbers don't apply — report, don't gate
+            verdict = "smoke" if tiny else ("PASS" if abs(delta) <= TOLERANCE_PP else "FAIL")
             rows.append((key, r, f"{pub[0]:.2f}±{pub[1]:.2f}", f"{delta:+.2f}", verdict))
         else:
             rows.append((key, r, "—", "—", "info"))
