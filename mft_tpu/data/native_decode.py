@@ -17,7 +17,10 @@ Backend selection (``MFT_NATIVE_DECODE``):
   silently — the pixel-exact clean-view golden chain
   (tests/test_augment.py) must hold regardless of backend, which is also
   why the decoded-episode cache key does not include the backend.
-* ``1``: require native (raises if the library can't be built/loaded).
+* ``1``: require native (raises if the library can't be built/loaded OR
+  the bit-identity canary fails — forced output still feeds the shared,
+  backend-agnostic episode cache, so non-identical output is an error,
+  not a preference).
 * ``0``: force the PIL path.
 
 Non-JPEG files, CMYK JPEGs, and any per-file decode failure fall back to
@@ -148,7 +151,7 @@ def decode_batch(paths, base_size: int, draft: bool = True, threads: int = 16):
     n = len(paths)
     out = np.empty((n, base_size, base_size, 3), np.uint8)
     status = np.empty(n, np.int32)
-    arr = (ctypes.c_char_p * n)(*[os.fspath(p).encode() for p in paths])
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     lib.mft_decode_batch(
         arr, n, base_size, int(draft), int(threads),
         out.ctypes.data_as(ctypes.c_void_p), status.ctypes.data_as(ctypes.c_void_p),
@@ -204,6 +207,17 @@ def backend() -> str:
     if mode in ("1", "on", "native"):
         if _load() is None:
             raise RuntimeError("MFT_NATIVE_DECODE=1 but the native decode library is unavailable")
+        if not _canary():
+            # forced mode must still be bit-identical: the decoded-episode
+            # cache key deliberately excludes the backend (pipeline._cache_key
+            # relies on the two producing the same bytes), so a non-identical
+            # native decode would silently poison caches later read by PIL
+            # runs.  auto mode falls back quietly; forced mode fails loudly.
+            raise RuntimeError(
+                "MFT_NATIVE_DECODE=1 but the native decode canary is not "
+                "bit-identical to PIL on this host (likely a libjpeg variant "
+                "mismatch); use MFT_NATIVE_DECODE=auto (falls back to PIL) or 0"
+            )
         return "native"
     return "native" if _load() is not None and _canary() else "pil"
 

@@ -179,7 +179,11 @@ def _bank_fmap(
     # group-at-a-time path.
     G = gen_examples + 1
     gpp = 1
-    if gen_examples and bn_train:
+    # n <= 128: groups larger than the gpp==1 path's BN sub-chunk threshold
+    # (trunk_of above) must take that path — the grouped pass computes BN
+    # statistics over whole n-row groups, which only equals the default
+    # path when the default path doesn't sub-chunk.
+    if gen_examples and bn_train and n <= 128:
         for d in range(min(group_pass, G), 1, -1):
             if G % d == 0 and d * n <= 512:
                 gpp = d

@@ -181,13 +181,17 @@ def inner_fit_pair(
         cb, _ = step_b(cb, xb)
         return (ca, cb), None
 
+    def _unroll(cfg, length):
+        # same software-pipelining rule as inner_fit, per scan segment
+        return cfg.unroll if cfg.unroll > 1 and length % cfg.unroll == 0 else 1
+
     init = ((params_a, tx_a.init(params_a)), (params_b, tx_b.init(params_b)))
     xs = ((ia[:ns], wa[:ns]), (ib[:ns], wb[:ns]))
-    (ca, cb), _ = jax.lax.scan(fused, init, xs)
+    (ca, cb), _ = jax.lax.scan(fused, init, xs, unroll=min(_unroll(cfg_a, ns), _unroll(cfg_b, ns)))
     if na > ns:
-        ca, _ = jax.lax.scan(step_a, ca, (ia[ns:], wa[ns:]))
+        ca, _ = jax.lax.scan(step_a, ca, (ia[ns:], wa[ns:]), unroll=_unroll(cfg_a, na - ns))
     if nb > ns:
-        cb, _ = jax.lax.scan(step_b, cb, (ib[ns:], wb[ns:]))
+        cb, _ = jax.lax.scan(step_b, cb, (ib[ns:], wb[ns:]), unroll=_unroll(cfg_b, nb - ns))
     return ca[0], cb[0]
 
 

@@ -156,6 +156,30 @@ def test_fanout_group_pass_matches():
     np.testing.assert_allclose(got, base, atol=0.05)
 
 
+def test_fanout_group_pass_large_groups_fall_back():
+    """Support groups past the 128-image BN sub-chunk threshold must take
+    the group-at-a-time path: the grouped pass computes whole-group BN
+    statistics, which only equals the default path when the default path
+    doesn't sub-chunk (50-shot groups are 250 images).  Pinned by requiring
+    bit-identity — only true when group_pass>1 actually falls back."""
+    params, stats, _, _, _, _ = _setup()
+    trunk_p, _ = bb.adapt_split(params)
+    trunk_s, _ = bb.adapt_split(stats)
+    rs = np.random.RandomState(1)
+    support = jnp.asarray(rs.rand(5, 26, IMG, IMG, 3).astype(np.float32))  # n=130 > 128
+
+    def fmap(gp):
+        fn = jax.jit(
+            lambda s: ee._bank_fmap(
+                trunk_p, trunk_s, s, jax.random.PRNGKey(5),
+                bcfg=BCFG, aug_cfg=ACFG, gen_examples=3, bn_train=True, group_pass=gp,
+            )
+        )
+        return np.asarray(fn(support))
+
+    np.testing.assert_array_equal(fmap(2), fmap(1))
+
+
 def test_grouped_batch_norm_matches_per_group():
     """ops/norm.py batch_norm(groups=G) == G separate batch-stats calls."""
     from mft_tpu.ops.norm import batch_norm

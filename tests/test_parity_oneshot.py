@@ -27,7 +27,11 @@ def test_status_missing_datasets_exits_2(tmp_path, monkeypatch, capsys):
     assert "expected layout" in out
 
 
-def test_status_synthetic_staged_exits_0(capsys):
+def test_status_synthetic_staged_exits_0(capsys, monkeypatch):
+    # main() setdefaults MFT_SAVE_DIR_PATH etc. for the smoke run; pin them
+    # via monkeypatch so the mutation is rolled back after the test instead
+    # of leaking into the rest of the session
+    monkeypatch.setenv("MFT_SAVE_DIR_PATH", "/tmp/mft_parity_smoke/logs")
     rc = parity_oneshot.main(["--status", "--smoke"])
     out = capsys.readouterr().out
     assert rc == 0

@@ -74,7 +74,13 @@ def main():
     backends = ["1", "0"] if a.backend == "both" else [os.environ.get("MFT_NATIVE_DECODE", "auto")]
     for mode in backends:
         os.environ["MFT_NATIVE_DECODE"] = mode
-        name = native_decode.backend()
+        try:
+            name = native_decode.backend()
+        except RuntimeError as e:
+            # 'both' on a host without the native library/canary: report it
+            # and still produce the PIL measurement
+            print(f"decode backend unavailable (MFT_NATIVE_DECODE={mode}): {e}", file=sys.stderr)
+            continue
         stream = EpisodeStream(man, spec, a.episodes, base_size=a.base_size, workers=a.workers)
         # warm the page cache + pool
         next(iter(EpisodeStream(man, spec, 2, base_size=a.base_size, workers=a.workers)))
