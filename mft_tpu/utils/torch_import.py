@@ -36,6 +36,10 @@ against a golden-fixture state dict in tests/test_torch_import.py.
 DampNet checkpoints carry additional module state not yet mapped; the
 strict unconsumed-key check reports exactly what a partial import would
 drop rather than importing silently.
+
+:func:`export_state_dict` / :func:`save_torch_tar` run the same mapping in
+reverse (pytree -> reference ``.tar``), roundtrip-pinned bit-exactly in
+tests/test_torch_import.py.
 """
 
 from __future__ import annotations
@@ -216,6 +220,108 @@ def convert_state_dict(sd: Dict[str, Any], cfg: ResNetCfg, strict: bool = True) 
             "file; pass strict=False to import the mapped subset anyway."
         )
     return params, stats
+
+
+# --------------------------------------------------------------------------
+# Export: the inverse mapping (pytree -> reference state dict), so models
+# trained HERE can be evaluated by the reference's own code — an independent
+# cross-implementation parity check — or handed back to reference users.
+# --------------------------------------------------------------------------
+
+
+def _as_list(tree):
+    """flax to_state_dict turns lists into {'0': ..., '1': ...}; accept both."""
+    if isinstance(tree, (list, tuple)):
+        return list(tree)
+    return [tree[str(i)] for i in range(len(tree))]
+
+
+def _oihw(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+
+def _put_lin(out: dict, pre: str, p: dict) -> None:
+    out[f"{pre}.weight"] = np.ascontiguousarray(np.asarray(p["w"]).T)
+    out[f"{pre}.bias"] = np.asarray(p["b"])
+
+
+def _put_conv1x1(out: dict, pre: str, p: dict) -> None:
+    w = np.asarray(p["w"]).T  # [out, in]
+    out[f"{pre}.weight"] = np.ascontiguousarray(w[:, :, None, None])
+    out[f"{pre}.bias"] = np.asarray(p["b"])
+
+
+def _put_bn(out: dict, pre: str, pair: dict, run: dict | None) -> None:
+    out[f"{pre}.weight"] = np.asarray(pair["scale"])
+    out[f"{pre}.bias"] = np.asarray(pair["bias"])
+    if run is not None:
+        out[f"{pre}.running_mean"] = np.asarray(run["mean"])
+        out[f"{pre}.running_var"] = np.asarray(run["var"])
+        # torch BN bookkeeping; numerically inert under the reference's
+        # momentum-based updates but required by strict load_state_dict
+        out[f"{pre}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_state_dict(params: dict, stats: dict, cfg: ResNetCfg) -> Dict[str, np.ndarray]:
+    """(params, stats) trees -> a reference ``model.state_dict()`` dict.
+
+    Accepts trees straight from the CLIs or the raw flax state-dict form
+    read back from a ``.ckpt`` file (lists as {'0': ...}).  Emits whatever
+    heads the params carry (fc/gnn, classifier); inverse of
+    :func:`convert_state_dict`, roundtrip-pinned in tests."""
+    out: Dict[str, np.ndarray] = {}
+    feat, fstats = params["feature"], stats
+    idx = 0
+    if cfg.stem:
+        out["feature.trunk.0.weight"] = _oihw(feat["stem_conv"])
+        _put_bn(out, "feature.trunk.1", feat["stem_bn"], fstats["stem_bn"])
+        idx = 4
+    fwt = cfg.block == "fwt"
+    for sp, ss in zip(_as_list(feat["stages"]), _as_list(fstats["stages"])):
+        for blk, bs in zip(_as_list(sp), _as_list(ss)):
+            pre = f"feature.trunk.{idx}"
+            out[f"{pre}.C1.weight"] = _oihw(blk["conv1"])
+            _put_bn(out, f"{pre}.BN1", blk["bn1"], bs["bn1"])
+            out[f"{pre}.C2.weight"] = _oihw(blk["conv2"])
+            _put_bn(out, f"{pre}.BN2", blk["bn2"], bs["bn2"])
+            if "conv_sc" in blk:
+                out[f"{pre}.shortcut.weight"] = _oihw(blk["conv_sc"])
+                _put_bn(out, f"{pre}.BNshortcut", blk["bn_sc"], bs["bn_sc"])
+            if fwt:
+                out[f"{pre}.BN2.gamma"] = np.asarray(blk["fwt_gamma2"]).reshape(1, -1, 1, 1)
+                out[f"{pre}.BN2.beta"] = np.asarray(blk["fwt_beta2"]).reshape(1, -1, 1, 1)
+                if "conv_sc" in blk:
+                    out[f"{pre}.BNshortcut.gamma"] = np.asarray(blk["fwt_gamma_sc"]).reshape(1, -1, 1, 1)
+                    out[f"{pre}.BNshortcut.beta"] = np.asarray(blk["fwt_beta_sc"]).reshape(1, -1, 1, 1)
+            idx += 1
+
+    if "fc" in params:
+        _put_lin(out, "fc.0", params["fc"]["linear"])
+        out["fc.1.weight"] = np.asarray(params["fc"]["bn"]["scale"])
+        out["fc.1.bias"] = np.asarray(params["fc"]["bn"]["bias"])
+        gnn = params["gnn"]
+        for i, layer in enumerate(_as_list(gnn["layers"])):
+            for j in range(1, 5):
+                _put_conv1x1(out, f"gnn.layer_w{i}.conv2d_{j}", layer["w"][f"conv{j}"])
+                _put_bn(out, f"gnn.layer_w{i}.bn_{j}", layer["w"][f"bn{j}"], None)
+            _put_conv1x1(out, f"gnn.layer_w{i}.conv2d_last", layer["w"]["conv_last"])
+            _put_lin(out, f"gnn.layer_l{i}.fc", layer["l"]["fc"])
+            _put_bn(out, f"gnn.layer_l{i}.bn", layer["l"]["bn"], None)
+        for j in range(1, 5):
+            _put_conv1x1(out, f"gnn.w_comp_last.conv2d_{j}", gnn["w_last"][f"conv{j}"])
+            _put_bn(out, f"gnn.w_comp_last.bn_{j}", gnn["w_last"][f"bn{j}"], None)
+        _put_conv1x1(out, "gnn.w_comp_last.conv2d_last", gnn["w_last"]["conv_last"])
+        _put_lin(out, "gnn.layer_last.fc", gnn["l_last"]["fc"])
+    if "classifier" in params:
+        _put_lin(out, "classifier", params["classifier"])
+    return out
+
+
+def save_torch_tar(path: str, epoch: int, sd: Dict[str, np.ndarray]) -> None:
+    """Write a reference-format ``{'epoch', 'state'}`` ``.tar``."""
+    import torch  # deferred
+
+    torch.save({"epoch": int(epoch), "state": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}}, path)
 
 
 def load_torch_tar(path: str) -> Tuple[int, Dict[str, np.ndarray]]:

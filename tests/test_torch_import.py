@@ -169,6 +169,72 @@ def test_import_missing_key_message(g):
         ti.convert_state_dict(sd, TINY)
 
 
+def test_export_roundtrips_reference_state_dict(g):
+    """import -> export reproduces the reference's own state dict
+    bit-exactly: every tensor equal, every key present (incl. the BN
+    num_batches_tracked bookkeeping strict load_state_dict requires)."""
+    sd = _sd(g, "fte2e_gnn.")
+    params, stats = ti.convert_state_dict(sd, TINY)
+    back = ti.export_state_dict(params, stats, TINY)
+    assert set(back) == set(sd)
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_export_accepts_raw_ckpt_form(g, tmp_path):
+    """export works on the flax state-dict form read straight from a .ckpt
+    file (lists restored as {'0': ...} dicts)."""
+    from flax import serialization
+
+    from mft_tpu.utils.checkpoint import save_checkpoint
+
+    sd = _sd(g, "fte2e_gnn.")
+    params, stats = ti.convert_state_dict(sd, TINY)
+    save_checkpoint(str(tmp_path), 3, {"epoch": 3, "params": params, "stats": stats})
+    raw = serialization.msgpack_restore((tmp_path / "3.ckpt").read_bytes())
+    back = ti.export_state_dict(raw["params"], raw["stats"], TINY)
+    np.testing.assert_array_equal(back["feature.trunk.0.weight"], sd["feature.trunk.0.weight"])
+    assert set(back) == set(sd)
+
+
+def test_export_fwt_inverse():
+    """FWT noise strengths roundtrip (C,) <-> (1,C,1,1)."""
+    cfg = ResNetCfg((1, 1), (8, 12), "fwt")
+    key = jax.random.PRNGKey(0)
+    ip, istats = bb.init_backbone(key, cfg)
+    sd = ti.export_state_dict({"feature": jax.tree.map(np.asarray, ip)},
+                              jax.tree.map(np.asarray, istats), cfg)
+    assert sd["feature.trunk.4.BN2.gamma"].shape == (1, 8, 1, 1)
+    p2, s2 = ti.convert_state_dict(sd, cfg)
+    _assert_tree_equal(p2["feature"], ip)
+    _assert_tree_equal(s2, istats)
+
+
+@pytest.mark.slow
+def test_cli_export_then_import(g, tmp_path):
+    """Full file-level roundtrip through torch: .ckpt -> export CLI -> .tar
+    -> import CLI -> .ckpt with identical tensors."""
+    pytest.importorskip("torch")
+    from mft_tpu.cli import export_ckpt, import_ckpt
+    from mft_tpu.utils.checkpoint import save_checkpoint
+
+    sd = _sd(g, "fte2e_gnn.")
+    params, stats = ti.convert_state_dict(sd, TINY)
+    save_checkpoint(str(tmp_path), 5, {"epoch": 5, "params": params, "stats": stats})
+    assert export_ckpt.main([str(tmp_path / "5.ckpt"), "--model", "ResNet10",
+                             "--out", str(tmp_path / "5.tar")]) == 0
+    out = tmp_path / "back"
+    assert import_ckpt.main([str(tmp_path / "5.tar"), "--model", "ResNet10",
+                             "--out_dir", str(out)]) == 0
+    from flax import serialization
+
+    raw = serialization.msgpack_restore((out / "5.ckpt").read_bytes())
+    got = np.asarray(raw["params"]["feature"]["stem_conv"])
+    np.testing.assert_array_equal(got, params["feature"]["stem_conv"])
+
+
 @pytest.mark.slow
 def test_cli_import_real_tar(g, tmp_path):
     """End to end through torch: write a reference-format .tar, run the CLI,
