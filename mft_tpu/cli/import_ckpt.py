@@ -85,6 +85,22 @@ def main(argv=None):
         if not all(jax.tree.leaves(trainable)):
             tx = opt.freeze_masked(tx, trainable)
         tree = {"epoch": epoch, "params": params, "stats": stats, "opt_state": tx.init(params)}
+        if "W_R" in params:
+            # DampNet: the prototype/rolling-store banks are plain attributes
+            # in the reference (never in state_dict), so rebuild damp_state
+            # fresh — a reference eval re-derives it the same way.  feat_dim
+            # comes from the checkpoint itself (layer3 projects back to it).
+            from mft_tpu.methods import dampnet as dn
+
+            f = int(sd["layer3.bias"].shape[0])
+            if a.method == "dampnet":
+                dcfg = dn.prototype_cfg(f, a.n_way, a.n_shot)
+            else:
+                dcfg = dn.DampNetCfg(
+                    feat_dim=f, n_way=a.n_way, n_support=a.n_shot,
+                    stat="class" if a.method == "dampnet_full_class" else "support",
+                )
+            tree["damp_state"] = dn.init_dampnet(jax.random.PRNGKey(0), dcfg)[1]
         base = os.path.basename(src)
         if base == "best_model.tar":
             os.makedirs(out_dir, exist_ok=True)

@@ -33,9 +33,12 @@ mappings are the same ones the run-the-reference golden suite verifies
 numerically (tests/test_golden_reference.py) and are themselves pinned
 against a golden-fixture state dict in tests/test_torch_import.py.
 
-DampNet checkpoints carry additional module state not yet mapped; the
-strict unconsumed-key check reports exactly what a partial import would
-drop rather than importing silently.
+DampNet checkpoints (all three variants) add the recovery modules
+``W_R / V_R / W_R_std / V_R_std / layer{1-3}[_add]``; the prototype /
+rolling-store banks are plain attributes in the reference — never in
+``state_dict()`` — so ``damp_state`` is rebuilt fresh on import, exactly
+as a reference eval re-derives it.  A strict unconsumed-key check reports
+anything a conversion would drop rather than importing silently.
 
 :func:`export_state_dict` / :func:`save_torch_tar` run the same mapping in
 reverse (pytree -> reference ``.tar``), roundtrip-pinned bit-exactly in
@@ -197,11 +200,12 @@ def convert_state_dict(sd: Dict[str, Any], cfg: ResNetCfg, strict: bool = True) 
     """Convert a full reference model state dict to ``(params, stats)``.
 
     Auto-detects what the checkpoint holds: every model has ``feature.*``;
-    GnnNet adds ``fc.* / gnn.*``; BaselineTrain adds ``classifier.*``
-    (ProtoNet checkpoints are feature-only).  ``strict`` (default) raises
-    if any tensor other than BN ``num_batches_tracked`` bookkeeping was
-    left unmapped — a DampNet checkpoint, or the wrong ``cfg`` for the
-    file, fails loudly instead of importing a partial model."""
+    GnnNet adds ``fc.* / gnn.*``; BaselineTrain adds ``classifier.*``;
+    DampNet adds the recovery modules (ProtoNet checkpoints are
+    feature-only).  ``strict`` (default) raises if any tensor other than
+    BN ``num_batches_tracked`` bookkeeping was left unmapped — the wrong
+    ``cfg`` for the file fails loudly instead of importing a partial
+    model."""
     r = _Reader(sd)
     feature, stats = convert_backbone(r, cfg)
     params: dict = {"feature": feature}
@@ -211,12 +215,24 @@ def convert_state_dict(sd: Dict[str, Any], cfg: ResNetCfg, strict: bool = True) 
         params["gnn"] = head["gnn"]
     if "classifier.weight" in r:
         params["classifier"] = _lin(r, "classifier")
+    if "W_R.weight" in r:
+        # DampNet recovery modules (all three variants share the names,
+        # methods/dampnet.py:32-45, dampnet_full_class.py:33-46; torch
+        # Bilinear weight [out, in1, in2] matches our layout verbatim).
+        # The prototype/rolling-store banks are plain attributes in the
+        # reference — never in state_dict — so damp_state is rebuilt fresh
+        # by the import CLI, exactly as a reference eval re-derives it.
+        params["W_R"] = r["W_R.weight"]
+        params["V_R"] = _lin(r, "V_R")
+        params["W_R_std"] = r["W_R_std.weight"]
+        params["V_R_std"] = _lin(r, "V_R_std")
+        for name in ("layer1", "layer2", "layer3", "layer1_add", "layer2_add", "layer3_add"):
+            params[name] = _lin(r, name)
     left = r.unconsumed()
     if left and strict:
         raise ValueError(
             f"{len(left)} checkpoint tensors were not mapped (first 10: "
-            f"{left[:10]}).  This usually means a DampNet checkpoint (extra "
-            "module state not yet importable) or the wrong --model for the "
+            f"{left[:10]}).  This usually means the wrong --model for the "
             "file; pass strict=False to import the mapped subset anyway."
         )
     return params, stats
@@ -314,6 +330,13 @@ def export_state_dict(params: dict, stats: dict, cfg: ResNetCfg) -> Dict[str, np
         _put_lin(out, "gnn.layer_last.fc", gnn["l_last"]["fc"])
     if "classifier" in params:
         _put_lin(out, "classifier", params["classifier"])
+    if "W_R" in params:
+        out["W_R.weight"] = np.asarray(params["W_R"])
+        _put_lin(out, "V_R", params["V_R"])
+        out["W_R_std.weight"] = np.asarray(params["W_R_std"])
+        _put_lin(out, "V_R_std", params["V_R_std"])
+        for name in ("layer1", "layer2", "layer3", "layer1_add", "layer2_add", "layer3_add"):
+            _put_lin(out, name, params[name])
     return out
 
 

@@ -212,6 +212,53 @@ def test_export_fwt_inverse():
     _assert_tree_equal(s2, istats)
 
 
+def test_dampnet_roundtrip():
+    """DampNet recovery modules (W_R bilinear, V_R, layer{1-3}[_add]) map
+    both ways; export->import reproduces the init trees exactly."""
+    from mft_tpu.methods import dampnet as dn
+
+    cfg = ResNetCfg((1, 1), (8, 12), "simple")
+    dcfg = dn.DampNetCfg(feat_dim=12, n_way=2, n_support=2)
+    ip, istats = bb.init_backbone(jax.random.PRNGKey(0), cfg)
+    dparams, _ = dn.init_dampnet(jax.random.PRNGKey(1), dcfg)
+    params = {"feature": jax.tree.map(np.asarray, ip), **jax.tree.map(np.asarray, dparams)}
+    sd = ti.export_state_dict(params, jax.tree.map(np.asarray, istats), cfg)
+    assert "W_R.weight" in sd and sd["W_R.weight"].shape[1:] == (12, 12)
+    p2, s2 = ti.convert_state_dict(sd, cfg)  # strict: every tensor mapped
+    _assert_tree_equal(p2, params)
+    _assert_tree_equal(s2, jax.tree.map(np.asarray, istats))
+
+
+@pytest.mark.slow
+def test_cli_import_dampnet_writes_damp_state(tmp_path):
+    """The import CLI rebuilds fresh damp_state for DampNet checkpoints
+    (the reference never persists the prototype banks)."""
+    torch = pytest.importorskip("torch")
+    from mft_tpu.cli import import_ckpt
+    from mft_tpu.methods import dampnet as dn
+
+    cfg = TINY  # 4 stages, so --model ResNet10 walks the same trunk indices
+    dcfg = dn.DampNetCfg(feat_dim=16, n_way=2, n_support=2)
+    ip, istats = bb.init_backbone(jax.random.PRNGKey(0), cfg)
+    dparams, _ = dn.init_dampnet(jax.random.PRNGKey(1), dcfg)
+    params = {"feature": jax.tree.map(np.asarray, ip), **jax.tree.map(np.asarray, dparams)}
+    sd = ti.export_state_dict(params, jax.tree.map(np.asarray, istats), cfg)
+    torch.save(
+        {"epoch": 2, "state": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}},
+        str(tmp_path / "2.tar"),
+    )
+    out = tmp_path / "out"
+    rc = import_ckpt.main([str(tmp_path / "2.tar"), "--model", "ResNet10",
+                           "--method", "dampnet_full_class", "--n_way", "2", "--n_shot", "2",
+                           "--out_dir", str(out)])
+    assert rc == 0
+    from flax import serialization
+
+    raw = serialization.msgpack_restore((out / "2.ckpt").read_bytes())
+    assert "damp_state" in raw
+    assert np.asarray(raw["damp_state"]["proto_mean"]).shape == (16,)
+
+
 @pytest.mark.slow
 def test_cli_export_then_import(g, tmp_path):
     """Full file-level roundtrip through torch: .ckpt -> export CLI -> .tar
