@@ -11,6 +11,9 @@ this tool makes the day-one exercise literal:
     python tools/parity_oneshot.py                 # stage check + full run
     python tools/parity_oneshot.py --status        # stage check only
     python tools/parity_oneshot.py --skip_train    # eval existing checkpoints
+    python tools/parity_oneshot.py --import_ckpts <ref_save_dir>
+                                                   # eval checkpoints already
+                                                   # TRAINED WITH THE REFERENCE
     python tools/parity_oneshot.py --smoke         # end-to-end on synthetic
     python tools/parity_oneshot.py --smoke_disk    # end-to-end on tiny staged
                                                    # JPEG trees at REAL paths
@@ -55,6 +58,46 @@ LAYOUT = {
     "ISIC": "ISIC2018_Task3_Training_{Input,GroundTruth}/ under the path",
     "ChestX": "Data_Entry_2017.csv + images/ under the path",
 }
+
+
+def _import_reference_ckpts(root: str, paths, train_ds: str, *, need50: bool) -> bool:
+    """Convert an existing reference training run's .tar checkpoints into
+    this framework's layout (cli/import_ckpt.py), so the eval stage runs on
+    models the user already trained with the reference — no retraining.
+
+    ``root`` is the reference save_dir (or its ``checkpoints/`` directory);
+    the reference's dataset-dir capitalization ('miniImagenet',
+    configs.py:2) is matched case-insensitively."""
+    import glob as _glob
+
+    from mft_tpu import config as cfg_mod
+    from mft_tpu.cli import import_ckpt as ic
+
+    base = os.path.join(root, "checkpoints") if os.path.isdir(os.path.join(root, "checkpoints")) else root
+    dirs = [d for d in _glob.glob(os.path.join(base, "*")) if os.path.isdir(d)]
+    ds_dir = next((d for d in dirs if os.path.basename(d).lower().startswith("miniimagenet")), None)
+    if ds_dir is None:
+        print(f"[import] no miniImagenet checkpoint directory under {base}")
+        return False
+    specs = [("baseline", None, None), ("gnnnet", 5, 5)]
+    if need50:
+        specs.append(("gnnnet", 5, 50))
+    ok = True
+    for method, way, shot in specs:
+        name = f"ResNet10_{method}_aug" + (f"_{way}way_{shot}shot" if way else "")
+        src = os.path.join(ds_dir, name)
+        if not os.path.isdir(src) or not _glob.glob(os.path.join(src, "*.tar")):
+            print(f"[import] MISSING {src} (no .tar checkpoints)")
+            ok = False
+            continue
+        out = cfg_mod.checkpoint_dir(paths, train_ds, "ResNet10", method,
+                                     train_aug=True, n_way=way, n_shot=shot)
+        args = [src, "--model", "ResNet10", "--method", method, "--out_dir", out]
+        if way:
+            args += ["--n_way", str(way), "--n_shot", str(shot)]
+        ic.main(args)
+        print(f"[import] {name} -> {out}")
+    return ok
 
 
 def _write_tree(root: str, n_classes: int = 6, per_class: int = 24, size: int = 64, seed: int = 0):
@@ -109,6 +152,10 @@ def main(argv=None):
                          "native decode -> episode cache)")
     ap.add_argument("--episode_cache", default=None,
                     help="decoded-episode cache dir (default <save_dir>/epcache; '' disables)")
+    ap.add_argument("--import_ckpts", default=None, metavar="REF_SAVE_DIR",
+                    help="import already-trained REFERENCE checkpoints (.tar) from this "
+                         "reference save_dir (or its checkpoints/ root) instead of training "
+                         "(cli/import_ckpt.py); implies --skip_train")
     a = ap.parse_args(argv)
 
     tiny = a.smoke or a.smoke_disk
@@ -159,6 +206,11 @@ def main(argv=None):
 
     size_args = ["--image_size", "32", "--base_size", "48"] if tiny else []
     common = ["--dataset", train_ds, "--model", "ResNet10", "--train_aug"] + size_args
+    if a.import_ckpts:
+        if not _import_reference_ckpts(a.import_ckpts, paths, train_ds,
+                                       need50=any(s >= 50 for s in a.shots)):
+            return 2
+        a.skip_train = True
     if not a.skip_train:
         # the full reference schedule (README.md:144-190; io_utils.py:33)
         t0 = time.time()
