@@ -90,6 +90,17 @@ def main(argv=None):
             # in the reference (never in state_dict), so rebuild damp_state
             # fresh — a reference eval re-derives it the same way.  feat_dim
             # comes from the checkpoint itself (layer3 projects back to it).
+            # All three variants share identical state-dict keys, so the
+            # variant CANNOT be inferred from the tensors: require the user
+            # to say which one this is rather than silently defaulting to
+            # the full variant (and filing under a gnnnet-named directory).
+            if a.method not in ("dampnet", "dampnet_full", "dampnet_full_class"):
+                ap.error(
+                    f"{src} is a DampNet checkpoint (has recovery-net tensors) but "
+                    f"--method is {a.method!r}; the three DampNet variants share "
+                    "identical state-dict keys, so pass the correct --method "
+                    "(dampnet | dampnet_full | dampnet_full_class) explicitly"
+                )
             from mft_tpu.methods import dampnet as dn
 
             f = int(sd["layer3.bias"].shape[0])

@@ -191,6 +191,7 @@ done:
 #define MFT_ERR_NOT_JPEG 2   /* caller should fall back (e.g. PNG via PIL) */
 #define MFT_ERR_IO 3
 #define MFT_ERR_UNSUPPORTED 4 /* e.g. CMYK: PIL's conversion is the oracle */
+#define MFT_ERR_TRUNCATED 5   /* damaged stream: pixels would be backend-defined */
 
 /* Decode one in-memory JPEG to out[base*base*3] uint8. */
 int mft_decode_jpeg(const uint8_t *data, size_t len, int base_size, int draft, uint8_t *out) {
@@ -253,6 +254,18 @@ int mft_decode_jpeg(const uint8_t *data, size_t len, int base_size, int draft, u
             jpeg_read_scanlines(&cinfo, &rowp, 1);
         }
         jpeg_finish_decompress(&cinfo);
+        /* A damaged stream (truncated / corrupt entropy) decodes "successfully"
+         * via the fake-EOI tolerance, but the pixels libjpeg synthesizes for
+         * the missing region are backend-defined — NOT bit-identical to PIL's.
+         * The shared episode cache key deliberately excludes the decode
+         * backend on bit-identity grounds, so such files must NOT be produced
+         * here: any accumulated warning demotes the result to
+         * MFT_ERR_TRUNCATED and the caller decodes that file via PIL. */
+        if (cinfo.err->num_warnings != 0) {
+            jpeg_destroy_decompress(&cinfo);
+            free(raw);
+            return MFT_ERR_TRUNCATED;
+        }
         jpeg_destroy_decompress(&cinfo);
         rc = resample_rgb(raw, w, h, out, base_size, base_size) == 0 ? MFT_OK : MFT_ERR_DECODE;
         free(raw);

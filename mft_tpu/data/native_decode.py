@@ -13,7 +13,8 @@ Backend selection (``MFT_NATIVE_DECODE``):
 * ``auto`` (default): use the native library iff it loads (building it
   from source on first use when a toolchain is available) AND a canary
   check proves its output BIT-IDENTICAL to the PIL path on representative
-  JPEGs (draft-scaled, plain, grayscale).  Anything less falls back to PIL
+  JPEGs (all draft scales 8/4/2/1, grayscale, progressive, 4:4:4 and
+  4:2:0 subsampling).  Anything less falls back to PIL
   silently — the pixel-exact clean-view golden chain
   (tests/test_augment.py) must hold regardless of backend, which is also
   why the decoded-episode cache key does not include the backend.
@@ -48,6 +49,7 @@ ERR_DECODE = 1
 ERR_NOT_JPEG = 2
 ERR_IO = 3
 ERR_UNSUPPORTED = 4
+ERR_TRUNCATED = 5  # damaged stream: synthesized pixels would be backend-defined
 
 _lock = threading.Lock()
 _lib = None
@@ -171,8 +173,13 @@ def _pil_reference(data: bytes, base_size: int) -> np.ndarray:
 
 
 def _canary() -> bool:
-    """Prove the native path bit-identical to PIL on representative JPEGs
-    (draft-scaled color, no-draft color, grayscale).  Runs once per process."""
+    """Prove the native path bit-identical to PIL on representative JPEGs.
+    Covers every draft scale {8, 4, 2, 1}, grayscale, a progressive stream,
+    and 4:4:4 chroma subsampling — the decode-path variants whose libjpeg
+    behavior could diverge between PIL's bundled libjpeg-turbo and a host's
+    system libjpeg (the test suite pins these on THIS host; the canary makes
+    the same guarantee on every user host, once per process, a few ms).
+    Runs once per process."""
     global _canary_ok
     if _canary_ok is not None:
         return _canary_ok
@@ -181,10 +188,19 @@ def _canary() -> bool:
 
         rs = np.random.RandomState(0)
         cases = []
-        for (w, h, mode) in [(600, 400, "RGB"), (160, 120, "RGB"), (300, 200, "L")]:
+        # (w, h, mode, save kwargs): at base=64 the draft scale is
+        # min(w//64, h//64) snapped down to {8,4,2,1}
+        for (w, h, mode, kw) in [
+            (600, 400, "RGB", {}),                       # scale 4, 4:2:0
+            (160, 120, "RGB", {}),                       # scale 1
+            (300, 200, "L", {}),                         # scale 2, grayscale
+            (640, 560, "RGB", {"subsampling": 0}),       # scale 8, 4:4:4
+            (520, 260, "RGB", {"progressive": True}),    # scale 4, progressive
+            (200, 140, "RGB", {"subsampling": 2}),       # scale 2, 4:2:0 explicit
+        ]:
             src = rs.randint(0, 256, (h, w, 3), dtype=np.uint8)
             buf = io.BytesIO()
-            Image.fromarray(src).convert(mode).save(buf, "JPEG", quality=88)
+            Image.fromarray(src).convert(mode).save(buf, "JPEG", quality=88, **kw)
             cases.append(buf.getvalue())
         base = 64
         ok = True

@@ -123,22 +123,29 @@ def test_decode_many_mixed_items_matches_decode_image(tmp_path, monkeypatch):
                 assert np.array_equal(g, w)
 
 
-def test_truncated_jpeg_survives(tmp_path):
-    """Truncated streams decode without raising on both backends (PIL's
-    LOAD_TRUNCATED_IMAGES semantics; libjpeg fakes an EOI).  Pixel content
-    of the missing region is backend-defined, so only shape/termination is
-    pinned here."""
+def test_truncated_jpeg_demoted_to_pil_fallback(tmp_path):
+    """A truncated stream decodes to backend-DEFINED pixels in the missing
+    region, so the native path must refuse it (MFT_ERR_TRUNCATED via the
+    num_warnings check) rather than write backend-dependent bytes into the
+    backend-agnostic episode cache; decode_many then recovers that file via
+    PIL's LOAD_TRUNCATED_IMAGES path, identically on both backends."""
+    import concurrent.futures as cf
+
     rs = np.random.RandomState(4)
     data = _jpeg_bytes(rs, 800, 600)
     cut = data[: len(data) // 2]
     p = tmp_path / "trunc.jpg"
     p.write_bytes(cut)
-    native = nd.decode_jpeg_bytes(cut, 64, draft=True)
-    assert native is not None and native.shape == (64, 64, 3)
+    # native refuses: any libjpeg warning (fake EOI) demotes the result
+    assert nd.decode_jpeg_bytes(cut, 64, draft=True) is None
+    _, status = nd.decode_batch([str(p)], 64, threads=1)
+    assert status[0] == nd.ERR_TRUNCATED
+    # ...and the composed path still survives, bit-identically to PIL
     ref = decode_image(str(p), 64)
     assert ref.shape == (64, 64, 3)
-    # the decoded (intact) top region matches bit for bit
-    assert np.array_equal(native[:16], ref[:16])
+    with cf.ThreadPoolExecutor(1) as pool:
+        got = nd.decode_many([str(p)], 64, pool=pool, workers=1, fallback=decode_image)
+    assert np.array_equal(got[0], ref)
 
 
 def test_corrupt_entropy_data_fails_cleanly():

@@ -260,6 +260,33 @@ def test_cli_import_dampnet_writes_damp_state(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_import_dampnet_requires_explicit_method(tmp_path):
+    """All three DampNet variants share identical state-dict keys, so the
+    importer must refuse to guess: a checkpoint with recovery-net tensors
+    under the default --method (gnnnet) errors out instead of silently
+    building a full-variant damp_state under a gnnnet-named directory."""
+    torch = pytest.importorskip("torch")
+    from mft_tpu.cli import import_ckpt
+    from mft_tpu.methods import dampnet as dn
+
+    cfg = TINY
+    dcfg = dn.DampNetCfg(feat_dim=16, n_way=2, n_support=2)
+    ip, istats = bb.init_backbone(jax.random.PRNGKey(0), cfg)
+    dparams, _ = dn.init_dampnet(jax.random.PRNGKey(1), dcfg)
+    params = {"feature": jax.tree.map(np.asarray, ip), **jax.tree.map(np.asarray, dparams)}
+    sd = ti.export_state_dict(params, jax.tree.map(np.asarray, istats), cfg)
+    torch.save(
+        {"epoch": 2, "state": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}},
+        str(tmp_path / "2.tar"),
+    )
+    with pytest.raises(SystemExit):
+        import_ckpt.main([str(tmp_path / "2.tar"), "--model", "ResNet10",
+                          "--n_way", "2", "--n_shot", "2",
+                          "--out_dir", str(tmp_path / "out")])
+    assert not (tmp_path / "out" / "2.ckpt").exists()
+
+
+@pytest.mark.slow
 def test_cli_export_then_import(g, tmp_path):
     """Full file-level roundtrip through torch: .ckpt -> export CLI -> .tar
     -> import CLI -> .ckpt with identical tensors."""
