@@ -126,16 +126,22 @@ def main():
     key = jax.random.PRNGKey(0)
     batches = [jax.block_until_ready(synth_batch(jax.random.PRNGKey(100 + i))) for i in range(2)]
 
-    def next_batch():
-        return batches[np.random.randint(len(batches))]
+    # deterministic rotation: every input to the measured loop is now a pure
+    # function of the seeds above, so ``synthetic_acc`` is a CONSTANT for a
+    # given backend/geometry and regressions in the eval numerics show up as
+    # a changed value rather than drowning in sampling drift (VERDICT r4
+    # weak #2 — the old batch choice was np.random and unseeded)
+    def next_batch(i):
+        return batches[i % len(batches)]
 
     # warmup/compile
     key, k = jax.random.split(key)
-    batch = next_batch()
+    batch = next_batch(0)
     _ = np.asarray(program(models, batch, jax.random.split(k, eval_batch))[1])
     log("fast path compiled")
 
     done = 0
+    step = 0
     t0 = time.perf_counter()
     accs = []
     while done < n_measure:
@@ -143,8 +149,9 @@ def main():
         _, acc = program(models, batch, jax.random.split(k, eval_batch))
         accs.append(acc)
         done += eval_batch
+        step += 1
         if done < n_measure:
-            batch = next_batch()
+            batch = next_batch(step)
     mean_acc = float(np.mean([np.asarray(a) for a in accs]))  # forces completion
     t_fast = time.perf_counter() - t0
     eps_fast = done / t_fast
@@ -212,6 +219,11 @@ def main():
                 "serial_eps_range": (
                     [round(1.0 / max(times), 3), round(1.0 / min(times), 3)] if have_serial else None
                 ),
+                # deterministic quality signal: fixed seeds end to end, so a
+                # changed value at unchanged geometry means a numerics change
+                # in the eval path (tests/test_bench_contract.py pins it at
+                # the tiny CPU geometry)
+                "synthetic_acc": round(mean_acc, 2),
                 "ref_decode_s_per_episode": ref_decode_s,
                 "wallclock_600_s": round(600.0 / eps_fast, 1),
                 "eps_v4_8_extrapolated": round(eps_fast * n_extrap, 1),

@@ -30,3 +30,9 @@ def test_bench_prints_one_json_line(monkeypatch):
     assert {"vs_reference_e2e", "eps_v4_8_extrapolated", "wallclock_600_s", "wallclock_600_v4_8_s"} <= set(rec)
     assert rec["unit"] == "episodes/sec" and rec["value"] > 0
     assert rec["vs_baseline"] is not None and rec["vs_reference_e2e"] > rec["vs_baseline"]
+    # the quality signal is deterministic (all seeds fixed; batch rotation is
+    # round-robin): at this tiny geometry the CPU backend reproducibly scores
+    # 45.33% — well above 5-way chance (20%).  A numerics regression in the
+    # eval path moves this number; the floor catches the falls-to-chance
+    # class without over-pinning across XLA versions.
+    assert "synthetic_acc" in rec and 40.0 <= rec["synthetic_acc"] <= 100.0, rec["synthetic_acc"]
