@@ -215,13 +215,26 @@ def evaluate(a, models, entry, manifest, *, bcfg, gcfg, spec, logger=None):
         inner_param_dtype=a.inner_param_dtype,
     )
     dcfg = models.pop("_dcfg", None)
+    mesh, e_batch = plan_eval_mesh(a.eval_batch)
     program = ee.make_eval_program(
         method=a.method, bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=aug_cfg,
         gen_examples=a.gen_examples, dcfg=dcfg, dampnet_eval=getattr(a, "dampnet_eval", "finetune"),
+        mesh=mesh,
     )
-    mesh, e_batch = plan_eval_mesh(a.eval_batch)
-    stream = EpisodeStream(manifest, spec, a.iter_num, base_size=a.base_size, seed=a.seed,
-                           cache_dir=a.episode_cache)
+    # replicate model trees across the mesh (episode-parallel eval: params
+    # identical on every chip, episodes sharded)
+    models = pmesh.replicate(mesh, models)
+    if getattr(a, "episode_manifest", None):
+        from mft_tpu.data.pipeline import ReplayEpisodeStream
+
+        stream = ReplayEpisodeStream.from_json(
+            a.episode_manifest, spec, base_size=a.base_size, root=a.episode_manifest_root
+        )
+        a.iter_num = len(stream)
+        print(f"replaying {a.iter_num} recorded episodes from {a.episode_manifest}")
+    else:
+        stream = EpisodeStream(manifest, spec, a.iter_num, base_size=a.base_size, seed=a.seed,
+                               cache_dir=a.episode_cache)
 
     acc_all = []
     key = jax.random.PRNGKey(a.seed)

@@ -120,6 +120,15 @@ def parse_args(script: str, argv=None, overrides: dict | None = None):
     parser.add_argument("--seed", default=10, type=int, help="reference seed discipline (train.py:69)")
     parser.add_argument("--paths_json", default=None)
     parser.add_argument("--trace_dir", default=None, help="jax.profiler trace output dir")
+    parser.add_argument("--episode_manifest", default=None,
+                        help="JSON file of explicit per-episode image paths (list of episodes, "
+                             "each [n_way][n_support+n_query] paths): replay recorded episodes "
+                             "instead of sampling — reproducible eval / cross-framework "
+                             "comparison (tools/run_reference_e2e.py records one from the "
+                             "reference's own loader).  Overrides --iter_num with the manifest "
+                             "length; paths resolve relative to --episode_manifest_root")
+    parser.add_argument("--episode_manifest_root", default=None,
+                        help="base directory for relative paths in --episode_manifest")
     parser.add_argument("--episode_cache", default=None,
                         help="dir for the decoded-episode uint8 cache (keyed by dataset/spec/seed/"
                              "resolution): repeat evals skip image decode entirely.  Training keys "

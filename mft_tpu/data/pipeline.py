@@ -197,6 +197,62 @@ class EpisodeStream:
                 yield futures.pop(i).result()
 
 
+class ReplayEpisodeStream:
+    """Iterates decoded episodes from an EXPLICIT per-episode file manifest
+    instead of sampling — every file, slot (support/query position), and
+    episode order is given by the caller.
+
+    The reproducible-eval / cross-framework comparison path: a manifest
+    recorded from another driver's loader (e.g. the reference's own
+    finetune.py via tools/ref_e2e_bootstrap.py) replays bit-identically
+    here, so per-episode accuracies are comparable one to one.  Drivers
+    accept it as ``--episode_manifest`` (a JSON list of episodes, each a
+    list of ``n_way`` lists of ``n_support+n_query`` image paths).
+    """
+
+    def __init__(self, episodes, spec: EpisodeSpec, *, base_size: int = 256, root: str | None = None,
+                 workers: int | None = None):
+        self.spec = spec
+        self.base_size = base_size
+        self.workers = default_workers() if workers is None else workers
+        self.episodes = []
+        for e, ways in enumerate(episodes):
+            if len(ways) != spec.n_way or any(len(w) != spec.n_per_class for w in ways):
+                raise ValueError(
+                    f"episode {e}: manifest shape {[len(w) for w in ways]} != "
+                    f"[{spec.n_per_class}] * {spec.n_way}"
+                )
+            self.episodes.append(
+                [[os.path.join(root, p) if root else p for p in way] for way in ways]
+            )
+        self._decode_pool = cf.ThreadPoolExecutor(self.workers)
+        weakref.finalize(self, self._decode_pool.shutdown, wait=False)
+
+    @classmethod
+    def from_json(cls, path: str, spec: EpisodeSpec, *, base_size: int = 256, root: str | None = None):
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+        episodes = raw["episodes"] if isinstance(raw, dict) else raw
+        return cls(episodes, spec, base_size=base_size, root=root)
+
+    def __len__(self):
+        return len(self.episodes)
+
+    def __iter__(self):
+        for ways in self.episodes:
+            flat = [p for way in ways for p in way]
+            imgs = native_decode.decode_many(
+                flat, self.base_size, pool=self._decode_pool, workers=self.workers,
+                fallback=decode_image,
+            )
+            images = np.stack(imgs).reshape(
+                self.spec.n_way, self.spec.n_per_class, self.base_size, self.base_size, 3
+            )
+            yield images, None
+
+
 class BatchStream:
     """Flat shuffled minibatches for supervised pretraining.
 

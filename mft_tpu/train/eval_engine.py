@@ -824,6 +824,7 @@ def make_eval_program(
     gen_examples: int,
     dcfg=None,
     dampnet_eval: str = "finetune",
+    mesh=None,
 ):
     """Build the fully-fused, episode-batched eval program.
 
@@ -835,7 +836,19 @@ def make_eval_program(
 
     Inside one XLA program per episode: clean center views, the on-device
     ``gen_examples + 3`` replica fan-out, the scan-based transfer fine-tune,
-    and head scoring — vmapped over E (shard E over the mesh's data axis).
+    and head scoring — vmapped over E.
+
+    ``mesh``: with a >1-device data axis, the program is built as a
+    ``shard_map`` over the episode axis — each device runs the per-shard
+    vmap LOCALLY, so the compiled program is collective-free BY CONSTRUCTION
+    (episodes are independent; models replicated).  Without it, the SPMD
+    partitioner is left to shard the vmapped program itself, and it
+    all-gathers the per-episode adapted-block weights: a vmapped conv whose
+    rhs carries the episode axis lowers to a grouped conv with episodes
+    fused into the channel groups, which the partitioner cannot keep local
+    (verified from the optimized HLO —
+    tests/test_parallel.py::test_eval_program_hlo_has_zero_collectives
+    pins the shard_map build at zero collectives).
     """
     from mft_tpu.ops.augment import center_batch, make_eval_replicas, pipeline_dtype
 
@@ -886,11 +899,23 @@ def make_eval_program(
             raise ValueError(f"unknown eval method {method!r}")
         return scores, episode_accuracy(scores, spec)
 
-    @jax.jit
-    def batch_fn(models, base_episodes, keys):
+    def _vmapped(models, base_episodes, keys):
         return jax.vmap(lambda e, k: one_episode(models, e, k))(base_episodes, keys)
 
-    return batch_fn
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        # check_vma=False: the replication-tracking AD machinery would wrap
+        # the inner-loop grads of the (replicated) model params in
+        # psum_invariant collectives that XLA does not elide; the body is
+        # manifestly per-episode-local, so tracking buys nothing
+        return jax.jit(
+            jax.shard_map(
+                _vmapped, mesh=mesh, in_specs=(P(), P("data"), P("data")), out_specs=P("data"),
+                check_vma=False,
+            )
+        )
+    return jax.jit(_vmapped)
 
 
 def episode_accuracy(scores: jnp.ndarray, spec: EpisodeSpec) -> jnp.ndarray:

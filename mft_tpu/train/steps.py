@@ -229,14 +229,19 @@ def _meta_finetune_episode_loss(
 @functools.partial(
     jax.jit, static_argnames=("method", "bcfg", "gcfg", "spec", "mcfg", "tx"), donate_argnums=(0, 1, 2)
 )
-def meta_finetune_train_step(params, stats, opt_state, episodes, rng, *, method, bcfg, gcfg, spec, mcfg, tx):
-    """The --fine_tune stage step over an episode batch [E, ...]."""
+def meta_finetune_train_step(params, stats, opt_state, episodes, rng, *, method, bcfg, gcfg, spec, mcfg, tx,
+                             schedule=None):
+    """The --fine_tune stage step over an episode batch [E, ...].
+
+    ``schedule``: optional recorded inner-minibatch schedule (shared by every
+    episode in the batch) — replay instrument for the reference train-loop
+    trajectory golden (tests/test_trainloop_golden.py)."""
 
     def batch_loss(p, s):
         keys = jax.random.split(rng, episodes.shape[0])
         losses, new_stats = jax.vmap(
             lambda ep, k: _meta_finetune_episode_loss(
-                p, s, ep, k, method=method, bcfg=bcfg, gcfg=gcfg, spec=spec, mcfg=mcfg
+                p, s, ep, k, method=method, bcfg=bcfg, gcfg=gcfg, spec=spec, mcfg=mcfg, schedule=schedule
             )
         )(episodes, keys)
         return losses.mean(), jax.tree.map(lambda a: a.mean(axis=0), new_stats)

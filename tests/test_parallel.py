@@ -78,16 +78,65 @@ def test_eval_program_sharded_matches_local():
     # optimizer steps and flip near-tie argmaxes); the sharding invariant is
     # tested on the deterministic embed+score path
     tcfg = ee.TransferCfg(fine_tune_epochs=0, linear_epochs=0)
-    prog = ee.make_eval_program(
+    prog_local = ee.make_eval_program(
         method="gnnnet", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=acfg, gen_examples=1
     )
     eps = (np.random.RandomState(0).rand(8, 3, 5, 24, 24, 3) * 255).astype(np.uint8)
     keys = jax.random.split(jax.random.PRNGKey(1), 8)
 
-    scores_local, _ = prog(models, jnp.asarray(eps), keys)
+    scores_local, _ = prog_local(models, jnp.asarray(eps), keys)
     mesh = pmesh.make_mesh()
-    scores_sharded, _ = prog(models, pmesh.shard_episode_batch(mesh, eps), keys)
+    prog_sharded = ee.make_eval_program(
+        method="gnnnet", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=acfg, gen_examples=1,
+        mesh=mesh,
+    )
+    scores_sharded, _ = prog_sharded(
+        pmesh.replicate(mesh, models), pmesh.shard_episode_batch(mesh, eps), keys
+    )
     np.testing.assert_allclose(np.asarray(scores_local), np.asarray(scores_sharded), atol=2e-3)
+
+
+def test_eval_program_hlo_has_zero_collectives():
+    """PROOF from the compiled program that the sharded eval is
+    embarrassingly episode-parallel: the optimized HLO of make_eval_program
+    lowered on the full 8-device mesh (episodes sharded on the data axis,
+    models replicated) contains NO cross-device collective ops.  This is
+    the basis of the linear v4-8 extrapolation in bench.py/PERF.md — each
+    chip fine-tunes and scores its own episodes; the only cross-device work
+    of the whole eval is the host-side accuracy concatenation."""
+    from mft_tpu.core.episode import EpisodeSpec
+    from mft_tpu.data import registry
+    from mft_tpu.methods import gnnnet as gn
+    from mft_tpu.models import backbone as bb
+    from mft_tpu.train import eval_engine as ee
+
+    spec = EpisodeSpec(3, 2, 3)
+    bcfg = bb.resnet10()._replace(widths=(8, 16, 32, 64))  # width-independent property
+    gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=3, n_support=2)
+    kb, kh = jax.random.split(jax.random.PRNGKey(0))
+    feature, stats = jax.jit(lambda k: bb.init_backbone(k, bcfg))(kb)
+    head = jax.jit(lambda k: gn.init_head(k, gcfg))(kh)
+    acfg = registry.get("synthetic").eval_aug._replace(image_size=16)
+    # the full headline shape: both ensemble members, real inner-loop scans
+    tcfg = ee.TransferCfg(fine_tune_epochs=1, linear_epochs=1)
+    mesh = pmesh.make_mesh()
+    prog = ee.make_eval_program(
+        method="all", bcfg=bcfg, gcfg=gcfg, spec=spec, tcfg=tcfg, aug_cfg=acfg, gen_examples=1,
+        mesh=mesh,
+    )
+    models = pmesh.replicate(
+        mesh, {"baseline": (feature, stats), "gnn": (feature, stats, {"fc": head["fc"], "gnn": head["gnn"]})}
+    )
+    eps = pmesh.shard_episode_batch(mesh, np.zeros((8, 3, 5, 24, 24, 3), np.uint8))
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+
+    hlo = prog.lower(models, eps, keys).compile().as_text()
+    collectives = [
+        "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+        "all-to-all", "collective-broadcast", "ragged-all-to-all",
+    ]
+    found = sorted({c for c in collectives if c in hlo})
+    assert not found, f"sharded eval program contains cross-device collectives: {found}"
 
 
 def test_eval_cli_default_mesh_shards_all_devices():
@@ -109,6 +158,19 @@ def test_eval_cli_default_mesh_shards_all_devices():
     arr = pmesh.shard_episode_batch(mesh, batch)
     assert len(arr.sharding.device_set) == n_dev
     assert arr.addressable_shards[0].data.shape[0] == a.eval_batch
+
+
+@pytest.mark.slow
+def test_multihost_two_process():
+    """Multi-host execution with REAL process boundaries: two
+    jax.distributed processes (gloo CPU collectives standing in for DCN),
+    a global mesh over both, per-process episode feeding via
+    make_array_from_process_local_data — training-step loss (cross-process
+    gradient all-reduce) and every per-episode eval accuracy must equal the
+    single-process 8-device run (asserted inside dryrun_multihost)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multihost(n_processes=2, devices_per_process=4)
 
 
 @pytest.mark.slow

@@ -31,6 +31,12 @@ Accuracy tolerance: ±0.3 pp on CropDisease 5-shot per BASELINE.md's target
 ("98.78% ± 0.3"); other cells are reported against the published example
 output where one exists, informational otherwise (the reference README
 publishes only the CropDisease example and the overall average).
+
+Gated cells run TWICE: the gate is judged on the strict-parity flags
+(``--bn_mode minibatch --dtype float32 --inner_param_dtype float32`` — the
+path the golden artifacts pin), with the fast bf16/episode-BN path reported
+alongside, so a gate failure localizes to semantics vs fast-path
+approximations.  ``parity_report.json`` carries both cells.
 """
 
 from __future__ import annotations
@@ -239,6 +245,11 @@ def main(argv=None):
                                               train_aug=True, n_way=5, n_shot=shot)
                 shutil.copy(os.path.join(gdir, "1.ckpt"), os.path.join(gdir, "600.ckpt"))
 
+    # strict-parity flag set: the accuracy GATE must be judged on the exact
+    # reference semantics (the golden artifacts pin this path), with the fast
+    # bf16/episode-BN path reported ALONGSIDE — so a gate failure localizes
+    # to semantics vs fast-path approximations (VERDICT r4 next #7)
+    STRICT = ["--bn_mode", "minibatch", "--dtype", "float32", "--inner_param_dtype", "float32"]
     results = {}
     for ds in a.test_datasets:
         for shot in a.shots:
@@ -253,12 +264,18 @@ def main(argv=None):
                 eval_args += ["--eval_batch", "2", "--gen_examples", "2", "--fine_tune_epoch", "1"]
             else:
                 eval_args += ["--gen_examples", "17", "--fine_tune_epoch", "5"]
-            print(f"\n=== eval {ds} {shot}-shot ===")
+            print(f"\n=== eval {ds} {shot}-shot (fast path) ===")
             t0 = time.time()
             mean, ci = driver.main(eval_args)
-            results[f"{ds}/{shot}shot"] = {
-                "acc": round(mean, 2), "ci95": round(ci, 2), "wall_s": round(time.time() - t0, 1),
-            }
+            cell = {"acc": round(mean, 2), "ci95": round(ci, 2), "wall_s": round(time.time() - t0, 1)}
+            if (ds, shot) in PUBLISHED or tiny:
+                # gated (or rehearsed) cell: also run under strict settings
+                print(f"\n=== eval {ds} {shot}-shot (strict parity: f32 + minibatch BN) ===")
+                t0 = time.time()
+                mean_s, ci_s = driver.main(eval_args + STRICT)
+                cell.update(acc_strict=round(mean_s, 2), ci95_strict=round(ci_s, 2),
+                            wall_s_strict=round(time.time() - t0, 1))
+            results[f"{ds}/{shot}shot"] = cell
 
     # ---- comparison table -------------------------------------------------
     print("\n================ parity vs published reference numbers ================")
@@ -268,7 +285,10 @@ def main(argv=None):
         shot = int(shot.replace("shot", ""))
         pub = PUBLISHED.get((ds, shot))
         if pub:
-            delta = r["acc"] - pub[0]
+            # the GATE is the strict-parity cell (exact reference semantics);
+            # the fast path is reported alongside for localization
+            gate_acc = r.get("acc_strict", r["acc"])
+            delta = gate_acc - pub[0]
             # smoke rehearsals run on tiny synthetic/staged data, where the
             # published numbers don't apply — report, don't gate
             verdict = "smoke" if tiny else ("PASS" if abs(delta) <= TOLERANCE_PP else "FAIL")
@@ -276,7 +296,10 @@ def main(argv=None):
         else:
             rows.append((key, r, "—", "—", "info"))
     for key, r, pub, delta, verdict in rows:
-        print(f"{key:24s} {r['acc']:6.2f} ±{r['ci95']:.2f}   published {pub:>12s}  Δ {delta:>6s}  [{verdict}]")
+        strict = (f"  strict {r['acc_strict']:6.2f} ±{r['ci95_strict']:.2f}"
+                  if "acc_strict" in r else "")
+        print(f"{key:24s} fast {r['acc']:6.2f} ±{r['ci95']:.2f}{strict}   "
+              f"published {pub:>12s}  Δ(strict) {delta:>6s}  [{verdict}]")
     if len(results) >= 12:
         avg = sum(r["acc"] for r in results.values()) / len(results)
         print(f"{'average (all trials)':24s} {avg:6.2f}          published {PUBLISHED_AVERAGE:>12.2f}  "
