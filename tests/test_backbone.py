@@ -75,6 +75,53 @@ def test_unflattened_output_shape():
     assert out.shape == (2, 7, 7, 512)
 
 
+def test_split_backbone_variants_compose():
+    """ResNet8 / ResNet_3 / ResNet_fin (reference backbone.py:441-517): the
+    split-backbone experiment pieces.  ResNet8/ResNet_3 emit 256-channel
+    stage-3 maps (the reference's ResNet8 ignores its flatten arg and always
+    returns maps, backbone.py:515-517); ResNet_fin consumes those maps
+    stem-lessly and produces the standard 512-d embedding — composing the
+    two reproduces the full 4-stage pipeline's output shape."""
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32))
+    for cfg3 in (bb.resnet8(), bb.resnet_3()):
+        assert cfg3.feat_dim == (7, 7, 256)
+        p3, s3 = jinit(jax.random.PRNGKey(0), cfg3)
+        maps, _ = japply(p3, s3, x, cfg=cfg3, train=True)
+        assert maps.shape == (2, 4, 4, 256)  # 64 -> stem+pool /4 -> strides /2/2
+
+    cfg_fin = bb.resnet_fin()
+    assert cfg_fin.feat_dim == 512
+    pf, sf = jinit(jax.random.PRNGKey(1), cfg_fin)
+    feats, _ = japply(pf, sf, maps, cfg=cfg_fin, train=True)
+    assert feats.shape == (2, 512)
+    # the split pair is adaptation-compatible: ResNet_fin's single stage IS
+    # the final block, so adapt_split hands the whole stage to the inner loop
+    trunk, last = bb.adapt_split(pf)
+    assert set(last) == {"conv1", "bn1", "conv2", "bn2", "conv_sc", "bn_sc"}
+    assert not jax.tree.leaves(trunk)  # stem-less: nothing frozen
+
+
+def test_resnet18_34_adapt_boundary_and_forward():
+    """ResNet18/34 forward + the documented adaptation-boundary deviation
+    (models/backbone.py module docstring): adapt_split hands the final
+    RESIDUAL BLOCK to the inner loop — for multi-block final stages the
+    reference's names[:-9] slice instead straddles the stage's first block;
+    ours is the structural per-block boundary."""
+    for cfg in (bb.resnet18(), bb.resnet34()):
+        params, stats = jinit(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32))
+        out, _ = japply(params, stats, x, cfg=cfg, train=True)
+        assert out.shape == (2, 512)
+        trunk, last = bb.adapt_split(params)
+        # final stage has >= 2 blocks; only its LAST block is adapted, and the
+        # stage's earlier blocks stay in the trunk
+        assert set(last) == {"conv1", "bn1", "conv2", "bn2"}  # cin == cout: no shortcut conv
+        assert len(trunk["stages"][-1]) == cfg.stage_sizes[-1]
+        assert trunk["stages"][-1][0]  # earlier block(s) retained
+        merged = bb.adapt_merge(trunk, last)
+        assert jax.tree.all(jax.tree.map(lambda a, b: (a == b).all(), merged, params))
+
+
 def test_masked_bn_equals_smaller_batch():
     x5 = np.random.RandomState(0).randn(5, 3, 3, 8).astype(np.float32)
     p = {"scale": jnp.ones(8), "bias": jnp.zeros(8)}

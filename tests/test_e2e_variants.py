@@ -135,6 +135,28 @@ def test_resnet10_fw_trains(save_dir):
     assert os.path.exists(d / "0.ckpt")
 
 
+def test_resnet18_train_and_eval(save_dir, capsys):
+    """--model ResNet18 (the third entry of the reference's model_dict,
+    io_utils.py:7-8) end to end through train + finetune: exercises the
+    multi-block final stage's adaptation boundary (adapt_split hands only
+    the stage's LAST block to the inner loop — the documented deviation
+    from the reference's names[:-9] slice, models/backbone.py docstring)
+    in the driver path, not just the oracle tests."""
+    from mft_tpu.cli import finetune as ft
+    from mft_tpu.cli import train as tr
+
+    common = [f if f != "ResNet10" else "ResNet18" for f in COMMON]
+    tr.main(common + ["--method", "gnnnet", "--n_shot", "2", "--stop_epoch", "0",
+                      "--save_freq", "1", "--episodes_per_epoch", "1"])
+    d = save_dir / "checkpoints" / "synthetic" / "ResNet18_gnnnet_5way_2shot"
+    assert os.path.exists(d / "0.ckpt")
+
+    ft.main(common + ["--method", "gnnnet", "--test_dataset", "synthetic", "--n_shot", "2",
+                      "--save_iter", "0", "--iter_num", "2", "--eval_batch", "2",
+                      "--gen_examples", "1", "--fine_tune_epoch", "1"])
+    assert "Test Acc" in capsys.readouterr().out
+
+
 def test_protonet_freeze_and_minibatch_eval(save_dir, capsys):
     """The remaining eval-driver surfaces: the ProtoNet head
     (finetune.py:441-442,619), --freeze_backbone (finetune.py:123-135), and
