@@ -139,7 +139,7 @@ def build_models(a, paths, bcfg, gcfg):
 
 
 def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg, *, n_images: int = -1,
-                   batch: int = 64):
+                   batch: int = 64, order: list | None = None):
     """Embed center views of ``dataset_name`` through the backbone ->
     features [N, feat].
 
@@ -148,6 +148,13 @@ def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg
     set (finetune_50.py:591-622).  A positive value subsamples ``n_images``
     evenly-spaced images (``--sweep_images``; a statistical deviation,
     useful on slow hosts).
+
+    ``order``: explicit sweep composition — paths (relative to the
+    dataset's configured root) swept in exactly this order.  The replay
+    instrument for whole-driver parity: the backbone embeds in train mode,
+    so per-batch BN statistics depend on which images share a batch of 64;
+    replaying the reference's recorded shuffle order reproduces its
+    prototype features (tools/run_reference_e2e.py ``sweep_order``).
 
     Streaming: images are decoded on a thread pool and embedded one
     ``batch`` at a time (default 64 — the reference's own sweep batch,
@@ -159,10 +166,16 @@ def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg
     from mft_tpu.data.pipeline import decode_image
     from mft_tpu.ops import augment as aug
 
-    entry_s = registry.get(dataset_name)
-    manifest_s = registry.build_manifest(entry_s, paths.as_dict())
-    cap = len(manifest_s) if n_images is None or n_images < 0 else min(n_images, len(manifest_s))
-    idx = np.linspace(0, len(manifest_s) - 1, cap).astype(np.int64)
+    if order is not None:
+        root = paths.as_dict()[dataset_name]
+        items = [os.path.join(root, p) for p in order]
+        idx = np.arange(len(items), dtype=np.int64)
+    else:
+        entry_s = registry.get(dataset_name)
+        manifest_s = registry.build_manifest(entry_s, paths.as_dict())
+        items = manifest_s.items
+        cap = len(manifest_s) if n_images is None or n_images < 0 else min(n_images, len(manifest_s))
+        idx = np.linspace(0, len(manifest_s) - 1, cap).astype(np.int64)
     n_real = len(idx)
 
     @jax.jit
@@ -174,7 +187,7 @@ def sweep_features(a, paths, dataset_name, backbone_params, backbone_stats, bcfg
     with cf.ThreadPoolExecutor(16) as pool:
         for start in range(0, n_real, batch):
             sel = idx[start : start + batch]
-            imgs = np.stack(list(pool.map(lambda i: decode_image(manifest_s.items[i], a.base_size), sel)))
+            imgs = np.stack(list(pool.map(lambda i: decode_image(items[i], a.base_size), sel)))
             # the ragged last batch keeps its true size (one extra compile):
             # padding would perturb its BN batch statistics vs the
             # reference's own ragged final loader batch
@@ -301,7 +314,20 @@ def main(argv=None):
             # the checkpoint lacks prototypes)
             from mft_tpu.methods import dampnet as dn
 
-            feats = sweep_features(a, paths, a.dataset, dp, ds_, bcfg, n_images=a.sweep_images)
+            sweep_order = None
+            if getattr(a, "episode_manifest", None):
+                # replay mode: if the manifest recorded the reference sweep's
+                # shuffled access order, reproduce its exact batch-of-64
+                # composition (train-mode BN -> prototype features match)
+                import json
+
+                with open(a.episode_manifest) as f:
+                    raw = json.load(f)
+                sweep_order = raw.get("sweep_order") if isinstance(raw, dict) else None
+                if sweep_order:
+                    print(f"replaying recorded sweep order ({len(sweep_order)} images)")
+            feats = sweep_features(a, paths, a.dataset, dp, ds_, bcfg, n_images=a.sweep_images,
+                                   order=sweep_order)
             models["dampnet"] = (dp, ds_, dparams, dn.update_prototypes(dstate, feats))
             print(f"dampnet source prototypes computed from {a.dataset}")
         if a.unsupervised:

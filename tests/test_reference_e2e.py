@@ -15,6 +15,11 @@ Tiers (fixture runs):
 * ``all_fte1`` / ``gnnnet_fte1`` — with inner-loop training the one free
   variable between the frameworks is inner RNG (minibatch shuffle order,
   throwaway classifier init); per-episode deltas are bounded accordingly.
+* ``dampnet_full_class_fte0`` / ``_fte1`` — the same two tiers through the
+  reference's OTHER shipped eval driver, finetune_50.py (the one whose
+  dampnet dispatch works upstream), with the miniImageNet source-prototype
+  sweep replayed in the reference's recorded shuffle order so even the
+  sweep's train-mode per-batch BN statistics match.
 """
 
 import json
@@ -37,7 +42,17 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "reference_e2e.jso
 #:   dominates, inner RNG flips at most a few near-tie queries,
 #: * gnnnet_fte1 observed 5.17/21.33 — the random-head chaos tier, where
 #:   shuffle-order differences swing the degenerate GNN predictions.
-TOLERANCE = {"gnnnet_fte0": (1.0, 2.7), "all_fte1": (5.0, 8.0), "gnnnet_fte1": (15.0, 40.0)}
+TOLERANCE = {
+    "gnnnet_fte0": (1.0, 2.7),
+    "all_fte1": (5.0, 8.0),
+    "gnnnet_fte1": (15.0, 40.0),
+    # dampnet tiers (reference driver: finetune_50.py).  fte0 is
+    # deterministic up to backend numerics: the sweep replays the reference's
+    # recorded shuffle order, so even the train-mode BN batch statistics of
+    # the prototype features match; bound = a couple of near-tie query flips.
+    "dampnet_full_class_fte0": (1.0, 2.7),
+    "dampnet_full_class_fte1": (15.0, 40.0),
+}
 
 
 @pytest.fixture(scope="module")
@@ -59,24 +74,34 @@ def staged(fixture, tmp_path_factory):
     if data_hash != fixture["data_hash"]:
         pytest.skip("PIL JPEG encoder produced different bytes than at fixture generation; "
                     "regenerate with tools/run_reference_e2e.py")
+    mini_root = None
+    if "mini_stage" in fixture:
+        mini_root = str(root / "miniImageNet")
+        mini_hash = r2e.stage_dataset(mini_root, **fixture["mini_stage"])
+        if mini_hash != fixture["mini_hash"]:
+            pytest.skip("staged miniImageNet bytes differ from fixture generation; "
+                        "regenerate with tools/run_reference_e2e.py")
     our_save = str(root / "ours_logs")
     ckpt_hash = r2e.make_checkpoints(our_save, None, fixture["ckpt_seed"])
     if ckpt_hash != fixture["ckpt_hash"]:
         pytest.skip("jax PRNG produced different init weights than at fixture generation; "
                     "regenerate with tools/run_reference_e2e.py")
-    return data_root, our_save, str(root)
+    return data_root, our_save, str(root), mini_root
 
 
 def _replay(fixture, staged, key):
-    data_root, our_save, root = staged
+    data_root, our_save, root, mini_root = staged
     run = fixture["runs"][key]
     ref = run["reference"]
+    damp = run["method"].startswith("dampnet")
     manifest = os.path.join(root, f"manifest_{key}.json")
     with open(manifest, "w") as f:
-        json.dump({"episodes": ref["episodes"]}, f)
+        json.dump({"episodes": ref["episodes"],
+                   **({"sweep_order": ref["sweep_order"]} if damp else {})}, f)
     ours = r2e.run_ours(
         data_root, our_save, method=run["method"], iter_num=fixture["iter_num"],
         fine_tune_epoch=run["fine_tune_epoch"], manifest=manifest,
+        mini_root=mini_root if damp else None,
     )
     r = np.asarray(ref["acc_all"])
     o = np.asarray(ours["acc_all"])
@@ -108,6 +133,27 @@ def test_reference_e2e_headline_tier(fixture, staged):
     if "all_fte1" not in fixture["runs"]:
         pytest.skip("fixture predates the all_fte1 tier; rerun tools/run_reference_e2e.py")
     _replay(fixture, staged, "all_fte1")
+
+
+@pytest.mark.slow
+def test_reference_e2e_dampnet_exact_tier(fixture, staged):
+    """dampnet_full_class fte0 through the reference's finetune_50.py: no
+    inner loop, the source-prototype sweep replayed in the reference's
+    recorded shuffle order — the whole dampnet driver path (checkpoint ->
+    sweep -> NTN recovery -> domain-shift scoring) must agree up to backend
+    numerics."""
+    if "dampnet_full_class_fte0" not in fixture["runs"]:
+        pytest.skip("fixture predates the dampnet tiers; rerun tools/run_reference_e2e.py")
+    _replay(fixture, staged, "dampnet_full_class_fte0")
+
+
+@pytest.mark.slow
+def test_reference_e2e_dampnet_adapted_tier(fixture, staged):
+    """dampnet_full_class fte1: the live adapted-backbone composition
+    (finetune_50.py:622,687) whole-driver, bounded by inner-RNG tolerance."""
+    if "dampnet_full_class_fte1" not in fixture["runs"]:
+        pytest.skip("fixture predates the dampnet tiers; rerun tools/run_reference_e2e.py")
+    _replay(fixture, staged, "dampnet_full_class_fte1")
 
 
 @pytest.mark.slow

@@ -43,6 +43,16 @@ def main(argv=None):
                     help="reference save_dir holding checkpoints/miniImageNet/*.tar")
     ap.add_argument("--out", required=True, help="output JSON path")
     ap.add_argument("--method", default="all")
+    ap.add_argument("--driver", default="finetune", choices=("finetune", "finetune_50"),
+                    help="which reference driver script to execute.  finetune_50.py is the "
+                         "one whose dampnet dispatch WORKS upstream (the 5-shot finetune.py "
+                         "dampnet path crashes — see README quirks), so dampnet tiers run "
+                         "through it")
+    ap.add_argument("--mini_root", default=None,
+                    help="staged miniImageNet ImageFolder root for the dampnet source sweep "
+                         "(finetune_50.py:591-622); its shuffled access order is recorded as "
+                         "sweep_order so the mft_tpu side can replay the exact per-batch BN "
+                         "composition")
     ap.add_argument("--iter_num", type=int, default=8)
     ap.add_argument("--n_shot", type=int, default=5)
     ap.add_argument("--fine_tune_epoch", type=int, default=1)
@@ -72,6 +82,43 @@ def main(argv=None):
     # the dataset module captured the path via ``from configs import *``
     cd.CropDisease_path = a.data_root
 
+    sweep_order: list[str] = []
+    if a.mini_root:
+        configs.miniImageNet_path = a.mini_root
+
+        import datasets.miniImageNet_few_shot as mi
+
+        mi.miniImageNet_path = a.mini_root
+
+        # The dampnet sweep loader hardcodes num_workers=4
+        # (finetune_50.py:592 + miniImageNet_few_shot.py:158): worker
+        # subprocesses would hide __getitem__ calls from the in-process
+        # recorder.  Forcing num_workers=0 records them without changing
+        # the data: the shuffle permutation is drawn by the sampler in the
+        # parent process either way, so batch composition is identical.
+        _DL = torch.utils.data.DataLoader
+
+        class _InProcessDL(_DL):
+            def __init__(self, *args, **kw):
+                kw["num_workers"] = 0
+                kw.pop("pin_memory", None)
+                super().__init__(*args, **kw)
+
+        torch.utils.data.DataLoader = _InProcessDL
+
+        # index -> path map in SimpleDataset's enumeration order (it
+        # preloads PIL images, losing paths; ImageFolder.samples preserves
+        # the same sorted order, miniImageNet_few_shot.py:31-35)
+        mini_samples = mi.ImageFolder(a.mini_root).samples
+        _orig_get = mi.SimpleDataset.__getitem__
+
+        def _recording_get(self, i):
+            item = _orig_get(self, i)
+            sweep_order.append(os.path.relpath(mini_samples[i][0], a.mini_root))
+            return item
+
+        mi.SimpleDataset.__getitem__ = _recording_get
+
     # ---- episode recorder: every ImageFolder access, in order -------------
     record: list[int] = []
     folders: list = []
@@ -90,15 +137,15 @@ def main(argv=None):
     cd.ImageFolder = RecordingImageFolder
 
     # ---- run the reference driver as __main__ ------------------------------
-    src_path = os.path.join(_REFERENCE, "finetune.py")
+    src_path = os.path.join(_REFERENCE, f"{a.driver}.py")
     with open(src_path) as f:
         src = f.read()
     n_sites = src.count("iter_num = 600")
-    assert n_sites == 2, f"expected 2 iter_num sites in finetune.py, found {n_sites}"
+    assert n_sites == 2, f"expected 2 iter_num sites in {a.driver}.py, found {n_sites}"
     src = src.replace("iter_num = 600", f"iter_num = {a.iter_num}")
 
     sys.argv = [
-        "finetune.py", "--method", a.method, "--test_dataset", "CropDisease",
+        f"{a.driver}.py", "--method", a.method, "--test_dataset", "CropDisease",
         "--n_shot", str(a.n_shot), "--save_iter", str(a.save_iter),
         "--fine_tune_epoch", str(a.fine_tune_epoch),
         "--gen_examples", str(a.gen_examples),
@@ -136,6 +183,7 @@ def main(argv=None):
     acc = np.asarray(acc_all)
     out = {
         "method": a.method,
+        "driver": a.driver,
         "iter_num": a.iter_num,
         "n_shot": a.n_shot,
         "n_query": 15,
@@ -149,6 +197,11 @@ def main(argv=None):
         "ci95": float(1.96 * acc.std() / np.sqrt(len(acc))),
         "episodes": episodes,
     }
+    if a.mini_root:
+        # one full pass over the staged miniImageNet tree, in the shuffled
+        # order the reference's sweep actually used (chunks of 64 = the
+        # train-mode BN batches its prototype features were computed with)
+        out["sweep_order"] = sweep_order
     os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(out, f)

@@ -45,6 +45,15 @@ import sys
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# this tool is host/CPU work (staging, checkpoint init, torch subprocesses);
+# the ambient JAX_PLATFORMS=axon tunnel must not be touched — device init
+# through the tunnel can block indefinitely under contention
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 FIXTURE = os.path.join(_REPO, "tests", "fixtures", "reference_e2e.json")
 
 # staged-tree geometry: 38 classes (SetDataset2 hardcodes range(38) for
@@ -53,10 +62,19 @@ FIXTURE = os.path.join(_REPO, "tests", "fixtures", "reference_e2e.json")
 # use every image of a drawn class and differ only in slot order
 STAGE = dict(n_classes=38, per_class=20, size=64, tint=0.45, quality=92, seed=7)
 
+# staged miniImageNet for the dampnet source sweep (finetune_50.py:591-622):
+# ImageFolder directly at the root (no dataset/train subdir,
+# miniImageNet_few_shot.py:31), and the image count MUST be a multiple of
+# the sweep batch 64 — the reference preallocates
+# ``torch.zeros(len(loader), 64, f)`` and assigns full batches, so a ragged
+# final batch crashes it (finetune_50.py:607-610)
+MINI_STAGE = dict(n_classes=16, per_class=16, size=64, tint=0.45, quality=92, seed=11,
+                  subdir="")
+
 
 def stage_dataset(root: str, *, n_classes: int, per_class: int, size: int, tint: float,
-                  quality: int, seed: int) -> str:
-    """Write ``<root>/dataset/train/class_XX/imgYYY.jpg``; returns a content
+                  quality: int, seed: int, subdir: str = "dataset/train") -> str:
+    """Write ``<root>/<subdir>/class_XX/imgYYY.jpg``; returns a content
     hash over every encoded byte (fixture validity check: PIL's JPEG encoder
     must produce the same bytes for the comparison to be exact)."""
     import numpy as np
@@ -66,7 +84,7 @@ def stage_dataset(root: str, *, n_classes: int, per_class: int, size: int, tint:
     tints = rs.rand(n_classes, 1, 1, 3)
     h = hashlib.sha1()
     for c in range(n_classes):
-        d = os.path.join(root, "dataset", "train", f"class_{c:02d}")
+        d = os.path.join(root, subdir, f"class_{c:02d}") if subdir else os.path.join(root, f"class_{c:02d}")
         os.makedirs(d, exist_ok=True)
         for i in range(per_class):
             img = np.clip(tint * tints[c] + (1.0 - tint) * rs.rand(size, size, 3), 0, 1)
@@ -84,32 +102,44 @@ def make_checkpoints(our_save: str, ref_save: str | None, seed: int) -> str:
     the jax PRNG must reproduce the same weights for the comparison to be
     exact)."""
     import jax
+
+    jax.config.update("jax_platforms", "cpu")  # env var alone loses to the ambient axon tunnel
     import numpy as np
 
+    from mft_tpu.methods import dampnet as dn
     from mft_tpu.methods import gnnnet as gn
     from mft_tpu.models import backbone as bb
     from mft_tpu.utils import checkpoint as ckpt
 
     bcfg = bb.resnet10()
     gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=5, n_support=5)
-    kb, kg, kh = jax.random.split(jax.random.PRNGKey(seed), 3)
+    kb, kg, kh, kd, kdd = jax.random.split(jax.random.PRNGKey(seed), 5)
     f_b, s_b = bb.init_backbone(kb, bcfg)
     f_g, s_g = bb.init_backbone(kg, bcfg)
     head = gn.init_head(kh, gcfg)
+    f_d, s_d = bb.init_backbone(kd, bcfg)
+    dcfg = dn.DampNetCfg(feat_dim=bcfg.feat_dim, n_way=5, n_support=5, stat="class")
+    dparams, dstate = dn.init_dampnet(kdd, dcfg)  # dstate uninitialized: both
+    # drivers derive the source prototypes from their own miniImageNet sweep
     to_np = lambda t: jax.tree.map(np.asarray, t)
 
     h = hashlib.sha1()
-    for leaf in jax.tree.leaves(to_np((f_b, f_g, head))):
+    for leaf in jax.tree.leaves(to_np((f_b, f_g, head, f_d, dparams))):
         h.update(np.asarray(leaf, np.float32).tobytes())
 
     jobs = [
-        ("miniImageNet/ResNet10_baseline_aug", 400, {"feature": to_np(f_b)}, to_np(s_b)),
+        ("miniImageNet/ResNet10_baseline_aug", 400, {"feature": to_np(f_b)}, to_np(s_b), None),
         ("miniImageNet/ResNet10_gnnnet_aug_5way_5shot", 600,
-         {"feature": to_np(f_g), "fc": to_np(head["fc"]), "gnn": to_np(head["gnn"])}, to_np(s_g)),
+         {"feature": to_np(f_g), "fc": to_np(head["fc"]), "gnn": to_np(head["gnn"])}, to_np(s_g), None),
+        ("miniImageNet/ResNet10_dampnet_full_class_aug_5way_5shot", 600,
+         {"feature": to_np(f_d), **to_np(dparams)}, to_np(s_d), to_np(dstate)),
     ]
-    for rel, epoch, params, stats in jobs:
+    for rel, epoch, params, stats, damp_state in jobs:
         d_our = os.path.join(our_save, "checkpoints", rel)
-        ckpt.save_checkpoint(d_our, epoch, {"epoch": epoch, "params": params, "stats": stats})
+        blob = {"epoch": epoch, "params": params, "stats": stats}
+        if damp_state is not None:
+            blob["damp_state"] = damp_state
+        ckpt.save_checkpoint(d_our, epoch, blob)
         if ref_save is None:
             continue
         from mft_tpu.cli import export_ckpt
@@ -125,14 +155,14 @@ def make_checkpoints(our_save: str, ref_save: str | None, seed: int) -> str:
 
 
 def run_reference(data_root: str, ref_save: str, out_json: str, *, method: str, iter_num: int,
-                  fine_tune_epoch: int) -> dict:
+                  fine_tune_epoch: int, driver: str = "finetune", mini_root: str | None = None) -> dict:
     cmd = [
         sys.executable, os.path.join(_HERE, "ref_e2e_bootstrap.py"),
         "--data_root", data_root, "--save_dir", ref_save, "--out", out_json,
         "--method", method, "--iter_num", str(iter_num), "--n_shot", "5",
         "--fine_tune_epoch", str(fine_tune_epoch), "--gen_examples", "0",
-        "--save_iter", "600", "--train_aug",
-    ]
+        "--save_iter", "600", "--train_aug", "--driver", driver,
+    ] + (["--mini_root", mini_root] if mini_root else [])
     r = subprocess.run(cmd, cwd=_REPO, text=True, capture_output=True)
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:])
@@ -158,7 +188,7 @@ def ours_cmd(method: str, iter_num: int, fine_tune_epoch: int, *, manifest: str 
 
 
 def run_ours(data_root: str, our_save: str, *, method: str, iter_num: int, fine_tune_epoch: int,
-             manifest: str | None = None, eval_batch: int = 2) -> dict:
+             manifest: str | None = None, eval_batch: int = 2, mini_root: str | None = None) -> dict:
     """Subprocess-run mft_tpu.cli.finetune; parse per-episode accs + CI."""
     env = dict(
         os.environ,
@@ -169,6 +199,8 @@ def run_ours(data_root: str, our_save: str, *, method: str, iter_num: int, fine_
         JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
     )
+    if mini_root:
+        env["MFT_MINIIMAGENET_PATH"] = mini_root
     env.setdefault("PYTHONPATH", _REPO)
     # per-episode RNG keys depend on the batch layout (evaluate() splits per
     # batch), so replay runs pin ONE cpu device regardless of the caller's
@@ -229,13 +261,19 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--work_dir", default="/tmp/mft_ref_e2e")
     ap.add_argument("--iter_num", type=int, default=8)
-    ap.add_argument("--runs", nargs="+", default=["gnnnet:0", "gnnnet:1", "all:1"],
+    ap.add_argument("--runs", nargs="+",
+                    default=["gnnnet:0", "gnnnet:1", "all:1", "dampnet_full_class:0",
+                             "dampnet_full_class:1"],
                     help="method:fine_tune_epoch per run.  fine_tune_epoch=0 is the "
                          "precision tier: with no inner loop the scores are deterministic "
                          "functions of the (bitwise-identical) replayed pixels, so the two "
                          "drivers must agree up to backend numerics; the trained tiers "
                          "additionally tolerate inner-loop RNG (shuffle order, throwaway "
-                         "classifier init), the one free variable between the frameworks")
+                         "classifier init), the one free variable between the frameworks.  "
+                         "dampnet_full_class tiers run through the reference's finetune_50.py "
+                         "(the driver whose dampnet dispatch works upstream) with a staged "
+                         "miniImageNet tree for the source-prototype sweep, whose recorded "
+                         "shuffle order is replayed on our side (same per-batch BN stats)")
     ap.add_argument("--ckpt_seed", type=int, default=3)
     ap.add_argument("--out", default=FIXTURE)
     ap.add_argument("--skip_ours", action="store_true",
@@ -246,6 +284,13 @@ def main(argv=None):
     data_root = os.path.join(a.work_dir, "CropDisease")
     print(f"[stage] {data_root} ({STAGE})")
     data_hash = stage_dataset(data_root, **STAGE)
+
+    need_mini = any(r.split(":")[0].startswith("dampnet") for r in a.runs)
+    mini_root = mini_hash = None
+    if need_mini:
+        mini_root = os.path.join(a.work_dir, "miniImageNet")
+        print(f"[stage] {mini_root} ({MINI_STAGE})")
+        mini_hash = stage_dataset(mini_root, **MINI_STAGE)
 
     our_save = os.path.join(a.work_dir, "ours_logs")
     ref_save = os.path.join(a.work_dir, "ref_logs")
@@ -263,26 +308,33 @@ def main(argv=None):
         "torch_version": torch.__version__,
         "runs": {},
     }
+    if need_mini:
+        fixture["mini_stage"] = MINI_STAGE
+        fixture["mini_hash"] = mini_hash
     for spec_str in a.runs:
         method, fte = spec_str.split(":")
         fte = int(fte)
         key = f"{method}_fte{fte}"
+        damp = method.startswith("dampnet")
+        driver = "finetune_50" if damp else "finetune"
         out_json = os.path.join(a.work_dir, f"ref_{key}.json")
         ref = run_reference(data_root, ref_save, out_json, method=method, iter_num=a.iter_num,
-                            fine_tune_epoch=fte)
-        run = {"method": method, "fine_tune_epoch": fte, "reference": ref}
+                            fine_tune_epoch=fte, driver=driver,
+                            mini_root=mini_root if damp else None)
+        run = {"method": method, "driver": driver, "fine_tune_epoch": fte, "reference": ref}
         if not a.skip_ours:
             manifest = os.path.join(a.work_dir, f"manifest_{key}.json")
             with open(manifest, "w") as f:
-                json.dump({"episodes": ref["episodes"]}, f)
+                json.dump({"episodes": ref["episodes"],
+                           **({"sweep_order": ref["sweep_order"]} if damp else {})}, f)
             run["ours_replay"] = run_ours(
                 data_root, our_save, method=method, iter_num=a.iter_num,
-                fine_tune_epoch=fte, manifest=manifest,
+                fine_tune_epoch=fte, manifest=manifest, mini_root=mini_root if damp else None,
             )
             run["replay_compare"] = compare(f"{key}/replay", ref, run["ours_replay"])
             run["ours_free"] = run_ours(
                 data_root, our_save, method=method, iter_num=a.iter_num,
-                fine_tune_epoch=fte,
+                fine_tune_epoch=fte, mini_root=mini_root if damp else None,
             )
             run["free_compare"] = compare(f"{key}/free", ref, run["ours_free"])
         fixture["runs"][key] = run
