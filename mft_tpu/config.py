@@ -75,6 +75,17 @@ def parse_args(script: str, argv=None, overrides: dict | None = None):
     ``overrides``: default values a driver swaps in for its own entry point
     (the eval drivers default to the fast bf16 path; explicit flags always
     win)."""
+    # MFT_JAX_PLATFORM=cpu|tpu: force the jax platform at the CONFIG level.
+    # Needed because an ambient PJRT plugin (e.g. the tunneled-TPU 'axon'
+    # platform) can override the plain JAX_PLATFORMS env var, so a harness
+    # that subprocess-runs a driver "on CPU" would silently run on — and
+    # hang with — the tunnel.  Applied here because every driver calls
+    # parse_args before touching a jax backend (device init is lazy).
+    plat = os.environ.get("MFT_JAX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     parser = argparse.ArgumentParser(description=f"mft_tpu few-shot script {script}")
     parser.add_argument("--dataset", default="miniImageNet", help="training base dataset")
     parser.add_argument("--test_dataset", default="", help="cross-domain test dataset")

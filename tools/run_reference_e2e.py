@@ -195,6 +195,10 @@ def run_ours(data_root: str, our_save: str, *, method: str, iter_num: int, fine_
         MFT_SAVE_DIR_PATH=our_save,
         MFT_CROPDISEASE_PATH=data_root,
         JAX_PLATFORMS="cpu",
+        # the env var above is advisory only — the ambient axon plugin can
+        # override it and route the child through the (flaky, contended)
+        # TPU tunnel; this forces CPU at the jax-config level in the child
+        MFT_JAX_PLATFORM="cpu",
         JAX_COMPILATION_CACHE_DIR=os.path.join(_REPO, ".jax_cache"),
         JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1",
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0",
