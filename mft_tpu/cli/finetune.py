@@ -295,7 +295,8 @@ def main(argv=None):
     np.random.seed(a.seed)
     paths = cfg_mod.Paths.load(a.paths_json)
 
-    spec = EpisodeSpec(a.test_n_way, a.n_shot, 15)  # n_query=15 (finetune.py:560-579)
+    # n_query=15 (finetune.py:560-579); --n_query overrides for reduced-geometry runs
+    spec = EpisodeSpec(a.test_n_way, a.n_shot, a.n_query if a.n_query > 0 else 15)
     bcfg = bb.MODEL_REGISTRY[a.model]()._replace(compute_dtype=a.dtype)
     gcfg = gn.GnnNetCfg(
         feat_dim=bcfg.feat_dim, n_way=a.test_n_way, n_support=a.n_shot,

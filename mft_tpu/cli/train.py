@@ -85,8 +85,11 @@ def main(argv=None):
     manifest = registry.build_manifest(entry, paths.as_dict(), split="base")
     train_aug_cfg = entry.train_aug._replace(image_size=params_args.image_size)
 
-    # reference n_query rule (train.py:112)
-    n_query = max(1, int(16 * params_args.test_n_way / params_args.train_n_way))
+    # reference n_query rule (train.py:112); --n_query overrides (e.g. to
+    # reproduce the dynamic shrink when a class has < n_support+16 images,
+    # meta_template.py:81 — static shapes here, so the caller pins it)
+    n_query = params_args.n_query if params_args.n_query > 0 else max(
+        1, int(16 * params_args.test_n_way / params_args.train_n_way))
     spec = EpisodeSpec(params_args.train_n_way, params_args.n_shot, n_query)
 
     bcfg, gcfg, params, stats, damp_state = build_model(
@@ -151,8 +154,36 @@ def run_baseline(a, manifest, aug_cfg, bcfg, params, stats, tx, opt_state, ckpt_
         x = aug.augment_batch(key, base_x, aug_cfg, dtype=dt) if a.train_aug else aug.center_batch(base_x, aug_cfg.image_size, dtype=dt)
         return steps.baseline_train_step(params, stats, opt_state, x, y, bcfg=bcfg, tx=tx)
 
+    # --episode_manifest (baseline flavour): replay explicit recorded
+    # minibatches — {"batches": [[paths]]} concatenated over epochs, sliced
+    # by the per-epoch batch count (tools/run_reference_train_e2e.py)
+    replay_batches = None
+    if getattr(a, "episode_manifest", None):
+        import json as _json
+
+        from mft_tpu.data.pipeline import ReplayBatchStream
+
+        with open(a.episode_manifest) as f:
+            replay_batches = _json.load(f)["batches"]
+        n_epochs = a.stop_epoch - start_epoch + 1
+        if len(replay_batches) % n_epochs:
+            raise SystemExit(f"--episode_manifest holds {len(replay_batches)} batches, not a "
+                             f"multiple of {n_epochs} epochs")
+        n_batches = len(replay_batches) // n_epochs
+        root = a.episode_manifest_root
+        label_of = {os.path.relpath(p, root) if root else p: int(l)
+                    for p, l in zip(manifest.items, manifest.labels)}
+        print(f"replaying {len(replay_batches)} recorded batches over {n_epochs} epochs")
+
     for epoch in range(start_epoch, a.stop_epoch + 1):
-        stream = BatchStream(manifest, a.batch_size, n_batches, base_size=a.base_size, seed=a.seed + epoch)
+        if replay_batches is not None:
+            lo = (epoch - start_epoch) * n_batches
+            stream = ReplayBatchStream(
+                replay_batches[lo : lo + n_batches], label_of,
+                base_size=a.base_size, root=root,
+            )
+        else:
+            stream = BatchStream(manifest, a.batch_size, n_batches, base_size=a.base_size, seed=a.seed + epoch)
         meter = AverageMeter()
         for i, (bx, by) in enumerate(stream):
             rng, k = jax.random.split(rng)
@@ -184,10 +215,39 @@ def run_episodic(a, manifest, aug_cfg, bcfg, gcfg, spec, params, stats, tx, opt_
             params, stats, opt_state, x, k_step, method=method, bcfg=bcfg, gcfg=gcfg, spec=spec, tx=tx
         )
 
+    # --episode_manifest: replay explicit recorded episodes instead of
+    # sampling (cross-framework training comparison — the manifest is the
+    # concatenation over epochs, sliced by --episodes_per_epoch; see
+    # tools/run_reference_train_e2e.py, which records one from the
+    # reference's own train.py loader)
+    replay_episodes = None
+    if getattr(a, "episode_manifest", None):
+        import json as _json
+
+        with open(a.episode_manifest) as f:
+            raw = _json.load(f)
+        replay_episodes = raw["episodes"] if isinstance(raw, dict) else raw
+        n_epochs = a.stop_epoch - start_epoch + 1
+        if len(replay_episodes) != n_epochs * a.episodes_per_epoch:
+            raise SystemExit(
+                f"--episode_manifest holds {len(replay_episodes)} episodes; expected "
+                f"{n_epochs} epochs x {a.episodes_per_epoch} (--episodes_per_epoch)"
+            )
+        print(f"replaying {len(replay_episodes)} recorded episodes over {n_epochs} epochs")
+
     n_steps = max(1, a.episodes_per_epoch // e_batch)
     for epoch in range(start_epoch, a.stop_epoch + 1):
-        stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch,
-                               cache_dir=a.episode_cache)
+        if replay_episodes is not None:
+            from mft_tpu.data.pipeline import ReplayEpisodeStream
+
+            lo = (epoch - start_epoch) * a.episodes_per_epoch
+            stream = ReplayEpisodeStream(
+                replay_episodes[lo : lo + a.episodes_per_epoch], spec,
+                base_size=a.base_size, root=a.episode_manifest_root,
+            )
+        else:
+            stream = EpisodeStream(manifest, spec, a.episodes_per_epoch, base_size=a.base_size, seed=a.seed + epoch,
+                                   cache_dir=a.episode_cache)
         meter = AverageMeter()
         it = iter(stream)
         t_data = t_step = 0.0

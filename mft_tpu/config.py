@@ -128,6 +128,12 @@ def parse_args(script: str, argv=None, overrides: dict | None = None):
     parser.add_argument("--sweep_images", default=-1, type=int,
                         help="images for dampnet prototype/unsup feature sweeps; -1 = full dataset "
                              "(reference parity, finetune_50.py:591-622)")
+    parser.add_argument("--n_query", default=-1, type=int,
+                        help="queries per class; -1 = the reference rule max(1, 16*test_n_way/"
+                             "train_n_way) for training (train.py:112) and 15 for eval "
+                             "(finetune.py:456).  The reference adapts n_query dynamically when a "
+                             "class has fewer images than n_support+n_query (meta_template.py:81) — "
+                             "set this explicitly to reproduce such runs at static shapes")
     parser.add_argument("--seed", default=10, type=int, help="reference seed discipline (train.py:69)")
     parser.add_argument("--paths_json", default=None)
     parser.add_argument("--trace_dir", default=None, help="jax.profiler trace output dir")

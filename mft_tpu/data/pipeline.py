@@ -253,6 +253,42 @@ class ReplayEpisodeStream:
             yield images, None
 
 
+class ReplayBatchStream:
+    """Explicit minibatch replay for supervised pretraining — the
+    ``BatchStream`` analogue of ``ReplayEpisodeStream``: every file and
+    batch slot is given by the caller (e.g. the shuffled batch composition
+    recorded from the reference's SimpleDataManager loader by
+    tools/ref_train_bootstrap.py), so ``cli.train --method baseline
+    --episode_manifest`` replays the identical pass and the per-batch
+    losses are comparable one to one."""
+
+    def __init__(self, batches, labels_by_path, *, base_size: int = 256, root: str | None = None,
+                 workers: int | None = None):
+        sizes = {len(b) for b in batches}
+        if len(sizes) != 1:
+            raise ValueError(f"ragged replay batches {sorted(sizes)}: static shapes require "
+                             f"uniform batch size")
+        self.base_size = base_size
+        self.workers = default_workers() if workers is None else workers
+        # labels key off the manifest's own (un-rooted) paths; decode paths
+        # get the root prefix
+        self.labels = [np.asarray([labels_by_path[p] for p in b], np.int32) for b in batches]
+        self.batches = [[os.path.join(root, p) if root else p for p in b] for b in batches]
+        self._decode_pool = cf.ThreadPoolExecutor(self.workers)
+        weakref.finalize(self, self._decode_pool.shutdown, wait=False)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        for batch, labels in zip(self.batches, self.labels):
+            imgs = native_decode.decode_many(
+                batch, self.base_size, pool=self._decode_pool, workers=self.workers,
+                fallback=decode_image,
+            )
+            yield np.stack(imgs), labels
+
+
 class BatchStream:
     """Flat shuffled minibatches for supervised pretraining.
 

@@ -205,6 +205,31 @@ def test_batch_stream(tmp_path):
     np.testing.assert_array_equal(batches[1][1], m.labels[perm[4:8]])
 
 
+def test_replay_batch_stream(tmp_path):
+    """Explicit minibatch replay (cli.train --method baseline
+    --episode_manifest): exact files in exact slots, labels via the
+    manifest's path->label map, root-relative paths resolved."""
+    import pytest
+
+    from mft_tpu.data.pipeline import ReplayBatchStream
+
+    _make_image_tree(tmp_path, n_classes=2, per_class=4)
+    m = mf.image_folder(str(tmp_path))
+    rel = [os.path.relpath(p, str(tmp_path)) for p in m.items]
+    label_of = {r: int(l) for r, l in zip(rel, m.labels)}
+    batches = [[rel[0], rel[5]], [rel[3], rel[1]]]
+    stream = ReplayBatchStream(batches, label_of, base_size=32, root=str(tmp_path), workers=2)
+    got = list(stream)
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0][1], [label_of[rel[0]], label_of[rel[5]]])
+    np.testing.assert_array_equal(got[1][1], [label_of[rel[3]], label_of[rel[1]]])
+    # slot-exact pixels: batch 0 slot 0 is exactly rel[0] decoded
+    np.testing.assert_array_equal(got[0][0][0], decode_image(m.items[0], 32))
+    with pytest.raises(ValueError, match="ragged"):
+        ReplayBatchStream([[rel[0]], [rel[1], rel[2]]], label_of, base_size=32,
+                          root=str(tmp_path), workers=2)
+
+
 def test_batch_stream_tiny_dataset(tmp_path):
     # batch_size > dataset: pad by re-permuting, every item still appears
     _make_image_tree(tmp_path, n_classes=2, per_class=3)
