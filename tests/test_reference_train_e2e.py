@@ -42,7 +42,8 @@ FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "reference_train_e
 #: its inner-RNG freedom, so a small multiplier over a loose floor.
 #: (CI reruns our deterministic side, so the CI delta ≈ the generation
 #: delta up to backend/BLAS drift — 3x margin is ample)
-TOL_POLICY = {"plain": (3.0, 2e-3), "baseline": (3.0, 2e-3), "fine_tune": (3.0, 0.5)}
+TOL_POLICY = {"plain": (3.0, 2e-3), "baseline": (3.0, 2e-3), "fine_tune": (3.0, 0.5),
+              "train50": (3.0, 2e-3)}
 #: pre-any-optimizer-step first episode: pure forward semantics, immune to
 #: Adam chaos — must match essentially exactly on every tier but fine_tune
 #: (whose first loss already sits behind an RNG-dependent inner adaptation)
@@ -71,15 +72,22 @@ def staged(fixture, tmp_path_factory):
         if rte.stage_dataset(mini_root_ft, **fixture["stage_ft"]) != fixture["data_hash_ft"]:
             pytest.skip("staged fine-tune tree bytes differ from fixture generation; "
                         "regenerate with tools/run_reference_train_e2e.py")
-    return mini_root, mini_root_ft, str(root)
+    mini_root_50 = None
+    if "stage_50" in fixture:
+        mini_root_50 = str(root / "miniImageNet64_50")
+        if rte.stage_dataset(mini_root_50, **fixture["stage_50"]) != fixture["data_hash_50"]:
+            pytest.skip("staged 50-shot tree bytes differ from fixture generation; "
+                        "regenerate with tools/run_reference_train_e2e.py")
+    return {"plain": mini_root, "baseline": mini_root, "fine_tune": mini_root_ft,
+            "train50": mini_root_50}, str(root)
 
 
 def _replay(fixture, staged, tier):
-    mini_root, mini_root_ft, root = staged
+    roots, root = staged
     run = fixture["runs"][tier]
     ref = run["reference"]
-    method = ref["method"]
-    tier_root = mini_root_ft if tier == "fine_tune" else mini_root
+    method = "gnnnet50" if tier == "train50" else ref["method"]
+    tier_root = roots[tier]
     our_save = os.path.join(root, f"ours_{tier}")
     ckpt_hash = rte.make_train_checkpoint(our_save, None, fixture["ckpt_seed"], method)
     if ckpt_hash != fixture[f"ckpt_hash_{method}"]:
@@ -87,7 +95,7 @@ def _replay(fixture, staged, tier):
                     "regenerate with tools/run_reference_train_e2e.py")
     manifest = os.path.join(root, f"manifest_{tier}.json")
     with open(manifest, "w") as f:
-        json.dump({"batches": ref["batches"]} if method == "baseline"
+        json.dump({"batches": ref["batches"]} if ref["method"] == "baseline"
                   else {"episodes": ref["episodes"]}, f)
     ours = rte.run_ours(ref, manifest, tier_root, our_save)
 
@@ -131,6 +139,16 @@ def test_reference_train_baseline_tier(fixture, staged):
     _replay(fixture, staged, "baseline")
 
 
+@pytest.mark.slow
+def test_reference_train_50_tier(fixture, staged):
+    """train_50.py whole-driver: the compressed-graph gnnnet_copy variant
+    via train_loop50 (n_query = batch - 50), replayed through
+    cli.train_50."""
+    if "train50" not in fixture["runs"]:
+        pytest.skip("fixture predates the train50 tier; rerun tools/run_reference_train_e2e.py")
+    _replay(fixture, staged, "train50")
+
+
 def test_fixture_records_param_parity(fixture):
     """The committed fixture's generation-time checkpoint comparison: the
     reference's saved .tar state and our saved .ckpt agree within the Adam
@@ -158,6 +176,8 @@ def test_fixture_records_param_parity(fixture):
                      "bn_stats": None, "bn_stats_rel": 3.0},
         "fine_tune": {"feature": 2e-1, "fc": 2e-1, "gnn": 2e-1,
                       "bn_stats": None, "bn_stats_rel": None},
+        "train50": {"feature": 2e-2, "fc": 2e-2, "gnn": 2e-2,
+                    "bn_stats": None, "bn_stats_rel": 0.5},
     }
     for tier, run in fixture["runs"].items():
         bounds = per_tier[tier]

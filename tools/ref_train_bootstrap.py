@@ -58,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--stop_epoch", type=int, default=3,
                     help="reference exclusive bound: epochs start_epoch..stop_epoch-1 run")
     ap.add_argument("--n_shot", type=int, default=5)
+    ap.add_argument("--driver", default="train", choices=("train", "train_50"),
+                    help="train_50.py dispatches gnnnet at n_shot=50 to the compressed-graph "
+                         "gnnnet_copy variant via train_loop50 (train_50.py:40-44,153-157)")
     a = ap.parse_args(argv)
 
     sys.path.insert(0, os.path.join(_HERE, "ref_shim"))  # torchvision stand-in
@@ -146,25 +149,29 @@ def main(argv=None):
 
         mi.ImageFolder = RecordingImageFolder
 
-        from methods import gnnnet as ref_gnnnet
+        if a.driver == "train_50" and a.n_shot == 50:
+            # train_50.py:153-157 dispatches to the compressed-graph variant
+            from methods import gnnnet_copy as ref_gnn_mod
+        else:
+            from methods import gnnnet as ref_gnn_mod
 
         loss_attr = "set_forward_loss_finetune" if a.fine_tune else "set_forward_loss"
-        _orig_loss = getattr(ref_gnnnet.GnnNet, loss_attr)
+        _orig_loss = getattr(ref_gnn_mod.GnnNet, loss_attr)
 
         def _recording_loss(self, x, *args, **kw):
             out = _orig_loss(self, x, *args, **kw)
             losses.append(float(out.item()))
             return out
 
-        setattr(ref_gnnnet.GnnNet, loss_attr, _recording_loss)
+        setattr(ref_gnn_mod.GnnNet, loss_attr, _recording_loss)
 
     # ---- run the reference driver as __main__ ------------------------------
-    src_path = os.path.join(_REFERENCE, "train.py")
+    src_path = os.path.join(_REFERENCE, f"{a.driver}.py")
     with open(src_path) as f:
         src = f.read()
 
     sys.argv = [
-        "train.py", "--method", a.method, "--dataset", "miniImageNet",
+        f"{a.driver}.py", "--method", a.method, "--dataset", "miniImageNet",
         "--model", "ResNet10", "--n_shot", str(a.n_shot),
         "--train_n_way", "5", "--test_n_way", "5",
         "--start_epoch", str(a.start_epoch), "--stop_epoch", str(a.stop_epoch),
@@ -242,6 +249,7 @@ def main(argv=None):
     )
     out = {
         "method": a.method,
+        "driver": a.driver,
         "fine_tune": bool(a.fine_tune),
         "start_epoch": a.start_epoch,
         "stop_epoch": a.stop_epoch,

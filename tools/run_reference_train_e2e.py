@@ -64,7 +64,14 @@ from run_reference_e2e import stage_dataset  # noqa: E402  (same staging law)
 FIXTURE = os.path.join(_REPO, "tests", "fixtures", "reference_train_e2e.json")
 CKPT_REL = "checkpoints/miniImageNet/ResNet10_gnnnet_5way_5shot"
 CKPT_REL_BASELINE = "checkpoints/miniImageNet/ResNet10_baseline"
+CKPT_REL_50 = "checkpoints/miniImageNet/ResNet10_gnnnet_5way_50shot"
 NUM_CLASSES = 200  # reference default (io_utils.py --num_classes); labels 0..63 here
+
+
+def ckpt_rel(ref: dict) -> str:
+    if ref["method"] == "baseline":
+        return CKPT_REL_BASELINE
+    return CKPT_REL_50 if ref.get("driver") == "train_50" else CKPT_REL
 
 # 64 classes non-negotiable (range(64) hardcode); per_class=8 -> n_query=3
 # through the reference's own dynamic recompute (meta_template.py:81) —
@@ -73,6 +80,9 @@ MINI64 = dict(n_classes=64, per_class=8, size=64, tint=0.45, quality=92, seed=13
 # the fine_tune stage asserts n_query == 16 (gnnnet.py:198), so its tree
 # carries exactly n_support+16 images per class
 MINI64_FT = dict(n_classes=64, per_class=21, size=64, tint=0.45, quality=92, seed=17, subdir="")
+# train_50's compressed variant pins n_support=50 (train_loop50: n_query =
+# batch - 50, gnnnet_copy.py:86); 65 per class -> the shipped n_query=15
+MINI64_50 = dict(n_classes=64, per_class=65, size=64, tint=0.45, quality=92, seed=19, subdir="")
 
 
 def make_train_checkpoint(our_save: str, ref_save: str | None, seed: int,
@@ -100,10 +110,14 @@ def make_train_checkpoint(our_save: str, ref_save: str | None, seed: int,
     else:
         from mft_tpu.methods import gnnnet as gn
 
-        gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=5, n_support=5)
+        if method == "gnnnet50":
+            gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=5, n_support=50, support_compress=2)
+            rel = CKPT_REL_50
+        else:
+            gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=5, n_support=5)
+            rel = CKPT_REL
         head = gn.init_head(kh, gcfg)
         params = {"feature": feature, "fc": head["fc"], "gnn": head["gnn"]}
-        rel = CKPT_REL
     to_np = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
     params = to_np(params)
     stats = to_np(stats)
@@ -129,12 +143,13 @@ def make_train_checkpoint(our_save: str, ref_save: str | None, seed: int,
 
 def run_reference(mini_root: str, ref_save: str, out_json: str, *, fine_tune: bool,
                   episodes_per_epoch: int, start_epoch: int, stop_epoch: int,
-                  method: str = "gnnnet") -> dict:
+                  method: str = "gnnnet", n_shot: int = 5, driver: str = "train") -> dict:
     cmd = [
         sys.executable, os.path.join(_HERE, "ref_train_bootstrap.py"),
         "--mini_root", mini_root, "--save_dir", ref_save, "--out", out_json,
         "--method", method, "--episodes_per_epoch", str(episodes_per_epoch),
         "--start_epoch", str(start_epoch), "--stop_epoch", str(stop_epoch),
+        "--n_shot", str(n_shot), "--driver", driver,
     ] + (["--fine_tune"] if fine_tune else [])
     r = subprocess.run(cmd, cwd=_REPO, text=True, capture_output=True)
     if r.returncode != 0:
@@ -146,14 +161,16 @@ def run_reference(mini_root: str, ref_save: str, out_json: str, *, fine_tune: bo
 
 def ours_cmd(ref: dict, manifest: str, mini_root: str) -> list:
     # reference stop_epoch is range()-exclusive; ours is inclusive (docs/GUIDE.md §3)
+    is50 = ref.get("driver") == "train_50"
     cmd = [
-        sys.executable, "-m", "mft_tpu.cli.train",
+        sys.executable, "-m", "mft_tpu.cli.train_50" if is50 else "mft_tpu.cli.train",
         "--method", ref["method"], "--dataset", "miniImageNet", "--model", "ResNet10",
         "--start_epoch", str(ref["start_epoch"]), "--stop_epoch", str(ref["stop_epoch"] - 1),
-        "--save_freq", "1",
         "--episode_manifest", manifest, "--episode_manifest_root", mini_root,
         "--bn_mode", "minibatch", "--dtype", "float32", "--inner_param_dtype", "float32",
     ]
+    if not is50:  # the 50-shot delegate pins the reference's hardcoded save_freq=10
+        cmd += ["--save_freq", "1"]
     if ref["method"] == "baseline":
         cmd += ["--batch_size", str(ref["batch_size"]), "--num_classes", str(NUM_CLASSES)]
     else:
@@ -184,9 +201,8 @@ def run_ours(ref: dict, manifest: str, mini_root: str, our_save: str) -> dict:
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-4000:])
         raise RuntimeError("mft_tpu.cli.train failed")
-    rel = CKPT_REL_BASELINE if ref["method"] == "baseline" else CKPT_REL
     per_epoch = ref["batches_per_epoch"] if ref["method"] == "baseline" else ref["episodes_per_epoch"]
-    return {"losses": parse_losses(os.path.join(our_save, rel, "train_log.jsonl"),
+    return {"losses": parse_losses(os.path.join(our_save, ckpt_rel(ref), "train_log.jsonl"),
                                    ref["start_epoch"], ref["stop_epoch"] - 1, per_epoch)}
 
 
@@ -236,7 +252,9 @@ def compare_params(ref_tar: str, our_ckpt: str, seed: int, method: str = "gnnnet
     else:
         from mft_tpu.methods import gnnnet as gn
 
-        gcfg = gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=5, n_support=5)
+        gcfg = (gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=5, n_support=50, support_compress=2)
+                if method == "gnnnet50" else
+                gn.GnnNetCfg(feat_dim=bcfg.feat_dim, n_way=5, n_support=5))
         head = gn.init_head(kh, gcfg)
         params = {"feature": feature, "fc": head["fc"], "gnn": head["gnn"]}
     tx = opt.torch_adam(1e-3)
@@ -270,11 +288,13 @@ def main(argv=None):
     ap.add_argument("--stop_epoch", type=int, default=3,
                     help="reference-convention exclusive bound (2 epochs by default)")
     ap.add_argument("--ckpt_seed", type=int, default=5)
-    ap.add_argument("--runs", nargs="+", default=["plain", "fine_tune", "baseline"],
+    ap.add_argument("--runs", nargs="+", default=["plain", "fine_tune", "baseline", "train50"],
                     help="plain = train_loop2 (the episodic stage); fine_tune = "
                          "train_loop_finetune + MAML_update at stop (train.py:49-58); "
                          "baseline = supervised pretraining (SimpleDataManager 16-batches, "
-                         "BaselineTrain.train_loop, train.py:77-109)")
+                         "BaselineTrain.train_loop, train.py:77-109); train50 = the OTHER "
+                         "training driver, train_50.py, whose gnnnet dispatch at n_shot=50 "
+                         "runs gnnnet_copy's compressed graphs via train_loop50")
     ap.add_argument("--out", default=FIXTURE)
     ap.add_argument("--skip_ours", action="store_true")
     a = ap.parse_args(argv)
@@ -288,6 +308,11 @@ def main(argv=None):
         mini_root_ft = os.path.join(a.work_dir, "miniImageNet64_ft")
         print(f"[stage] {mini_root_ft} ({MINI64_FT})")
         data_hash_ft = stage_dataset(mini_root_ft, **MINI64_FT)
+    mini_root_50 = data_hash_50 = None
+    if "train50" in a.runs:
+        mini_root_50 = os.path.join(a.work_dir, "miniImageNet64_50")
+        print(f"[stage] {mini_root_50} ({MINI64_50})")
+        data_hash_50 = stage_dataset(mini_root_50, **MINI64_50)
 
     import torch
 
@@ -307,20 +332,29 @@ def main(argv=None):
             prior = json.load(f)
         if prior.get("data_hash") == data_hash and prior.get("ckpt_seed") == a.ckpt_seed:
             fixture["runs"] = {k: v for k, v in prior.get("runs", {}).items() if k not in a.runs}
-            for k in ("ckpt_hash_gnnnet", "ckpt_hash_baseline"):
+            for k in ("ckpt_hash_gnnnet", "ckpt_hash_baseline", "ckpt_hash_gnnnet50",
+                      "stage_ft", "data_hash_ft", "stage_50", "data_hash_50"):
                 if k in prior:
-                    fixture[k] = prior[k]
+                    fixture.setdefault(k, prior[k])
     if mini_root_ft:
         fixture["stage_ft"] = MINI64_FT
         fixture["data_hash_ft"] = data_hash_ft
+    if mini_root_50:
+        fixture["stage_50"] = MINI64_50
+        fixture["data_hash_50"] = data_hash_50
     for tier in a.runs:
         fine_tune = tier == "fine_tune"
+        is50 = tier == "train50"
         method = "baseline" if tier == "baseline" else "gnnnet"
-        rel = CKPT_REL_BASELINE if method == "baseline" else CKPT_REL
-        tier_root = mini_root_ft if fine_tune else mini_root
+        ckpt_method = "gnnnet50" if is50 else method
+        driver = "train_50" if is50 else "train"
+        n_shot = 50 if is50 else 5
+        rel = CKPT_REL_BASELINE if method == "baseline" else (CKPT_REL_50 if is50 else CKPT_REL)
+        tier_root = mini_root_ft if fine_tune else (mini_root_50 if is50 else mini_root)
         # the fine_tune inner loop is 15 epochs x 7 minibatches of torch
-        # fwd+bwd per episode — keep its episode count small
-        tier_epe = min(2, a.episodes_per_epoch) if fine_tune else a.episodes_per_epoch
+        # fwd+bwd per episode, and train50 episodes carry 325 images — keep
+        # those episode counts small
+        tier_epe = min(2, a.episodes_per_epoch) if (fine_tune or is50) else a.episodes_per_epoch
         # fresh save dirs per tier: both drivers resume from the highest
         # checkpoint present, so stale 1./2. epochs would be picked up
         our_save = os.path.join(a.work_dir, f"ours_{tier}")
@@ -329,15 +363,15 @@ def main(argv=None):
 
         for d in (our_save, ref_save):  # stale epoch>0 ckpts would hijack resume
             shutil.rmtree(d, ignore_errors=True)
-        ckpt_hash = make_train_checkpoint(our_save, ref_save, a.ckpt_seed, method)
-        fixture[f"ckpt_hash_{method}"] = ckpt_hash
+        ckpt_hash = make_train_checkpoint(our_save, ref_save, a.ckpt_seed, ckpt_method)
+        fixture[f"ckpt_hash_{ckpt_method}"] = ckpt_hash
         print(f"[ckpt] {tier}: data_hash={data_hash[:12]} ckpt_hash={ckpt_hash[:12]}")
 
         out_json = os.path.join(a.work_dir, f"ref_{tier}.json")
         ref = run_reference(tier_root, ref_save, out_json, fine_tune=fine_tune,
                             episodes_per_epoch=tier_epe,
                             start_epoch=a.start_epoch, stop_epoch=a.stop_epoch,
-                            method=method)
+                            method=method, n_shot=n_shot, driver=driver)
         run = {"reference": ref}
         if not a.skip_ours:
             manifest = os.path.join(a.work_dir, f"manifest_{tier}.json")
@@ -360,12 +394,15 @@ def main(argv=None):
             # bookkeeping); final epoch only for fine_tune — the reference's
             # INTERMEDIATE state deliberately carries the live adapted fast
             # weights that MAML_update subtracts at stop (gnnnet.py:183-187),
-            # ours is always post-reattach
-            epochs = [a.stop_epoch - 1] if fine_tune else list(range(a.start_epoch, a.stop_epoch))
+            # ours is always post-reattach — and for train50 (the reference
+            # hardcodes save_freq=10, train_50.py:53, so only the stop
+            # checkpoint exists at this geometry)
+            epochs = ([a.stop_epoch - 1] if (fine_tune or is50)
+                      else list(range(a.start_epoch, a.stop_epoch)))
             run["param_compare"] = {
                 str(e): compare_params(os.path.join(ref_save, rel, f"{e}.tar"),
                                        os.path.join(our_save, rel, f"{e}.ckpt"),
-                                       a.ckpt_seed, method)
+                                       a.ckpt_seed, ckpt_method)
                 for e in epochs
             }
             print(f"[{tier}] max|Δloss|={run['loss_compare']['max_abs_delta']:.3e} "
