@@ -161,6 +161,20 @@ RECIPES: Dict[str, Recipe] = {
     ),
 }
 
+# Paths-field -> staged location (relative to --dest), for --emit_paths:
+# writes an mft_paths.json so config.Paths.load picks the staged tree up
+# without hand-editing (reference configs.py:1-9 equivalents).
+PATHS_MAP = {
+    "miniImageNet": "content/miniImagenet3",
+    "EuroSAT": "content/2750",
+    "ISIC": "content",
+    "ChestX": "content",
+    "CropDisease": "content/CropDiseases",
+    "CUB": "filelists/CUB",
+    "cross": "filelists/cross",
+    "save_dir": "logs",
+}
+
 # --archive keys that feed multi-archive recipes map onto these filenames.
 ARCHIVE_KEYS = {
     "CUB": "CUB_200_2011.tgz",
@@ -316,6 +330,9 @@ def main(argv=None) -> int:
     p.add_argument("--verify", action="store_true", help="check the staged tree against registry expectations")
     p.add_argument("--archive", action="append", default=[], metavar="NAME=PATH",
                    help=f"locally-obtained archive replacing a download; names: {', '.join(ARCHIVE_KEYS)}")
+    p.add_argument("--emit_paths", default=None, metavar="JSON",
+                   help="write an mft_paths.json mapping every dataset root to the staged "
+                        "location under --dest (config.Paths.load / MFT_TPU_PATHS consume it)")
     a = p.parse_args(argv)
     names = list(RECIPES) if a.dataset == "all" else [a.dataset]
     for n in names:
@@ -346,6 +363,15 @@ def main(argv=None) -> int:
                 rc = 1
             else:
                 print(f"VERIFY {n}: ok")
+    if a.emit_paths:
+        import json
+
+        dest = os.path.abspath(a.dest)
+        blob = {k: os.path.join(dest, rel) for k, rel in PATHS_MAP.items()}
+        os.makedirs(os.path.dirname(os.path.abspath(a.emit_paths)) or ".", exist_ok=True)
+        with open(a.emit_paths, "w") as f:
+            json.dump(blob, f, indent=1)
+        print(f"wrote {a.emit_paths} (point MFT_TPU_PATHS at it)")
     return rc
 
 

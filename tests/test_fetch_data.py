@@ -115,6 +115,22 @@ def test_plan_all_covers_every_recipe(capsys):
         assert ds in out
 
 
+def test_emit_paths_roundtrip(tmp_path, monkeypatch):
+    """--emit_paths output loads through config.Paths (MFT_TPU_PATHS)."""
+    out = tmp_path / "mft_paths.json"
+    rc = fetch_data.main(["--dataset", "EuroSAT", "--plan", "--dest", str(tmp_path),
+                          "--emit_paths", str(out)])
+    assert rc == 0 and out.exists()
+    monkeypatch.setenv("MFT_TPU_PATHS", str(out))
+    for k in ("MFT_EUROSAT_PATH", "MFT_CROPDISEASE_PATH", "MFT_MINIIMAGENET_PATH"):
+        monkeypatch.delenv(k, raising=False)
+    from mft_tpu.config import Paths
+
+    p = Paths.load()
+    assert p.EuroSAT == str(tmp_path / "content" / "2750")
+    assert p.CropDisease == str(tmp_path / "content" / "CropDiseases")
+
+
 def test_mini_csv_chain(tmp_path):
     """configure_miniImagenet.sh:1-6 equivalent with pre-staged CSVs."""
     dest = tmp_path / "stage"
